@@ -1,0 +1,46 @@
+"""Attribute-access dict with recursive immutability.
+
+Mirrors the behavior contract of the reference config container
+(`/root/reference/configs/collections.py:24-65`): keys are readable/writable as
+attributes, and a config tree can be frozen so later mutation raises.
+Fresh implementation.
+"""
+
+from __future__ import annotations
+
+
+class AttrDict(dict):
+    _IMMUTABLE = "__immutable__"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__[AttrDict._IMMUTABLE] = False
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if self.__dict__.get(AttrDict._IMMUTABLE, False):
+            raise AttributeError(
+                f"Attempted to set '{name}' on an immutable AttrDict"
+            )
+        self[name] = value
+
+    def immutable(self, is_immutable: bool) -> None:
+        """Recursively (un)freeze this dict and every nested AttrDict."""
+        self.__dict__[AttrDict._IMMUTABLE] = is_immutable
+        for v in self.values():
+            if isinstance(v, AttrDict):
+                v.immutable(is_immutable)
+
+    def is_immutable(self) -> bool:
+        return self.__dict__[AttrDict._IMMUTABLE]
+
+    def clone(self) -> "AttrDict":
+        out = AttrDict()
+        for k, v in self.items():
+            out[k] = v.clone() if isinstance(v, AttrDict) else v
+        return out

@@ -1,0 +1,235 @@
+"""Global configuration tree for frustum_convnet_tpu.
+
+Key set and default values replicate the reference config system
+(`/root/reference/configs/config.py:63-192`) so that the reference's yaml
+experiment files (`cfgs/*.yaml`) are accepted verbatim. Two deliberate
+departures from the reference:
+
+* ``MODEL.FILE`` / ``DATA.FILE`` are *registry names* here, not python file
+  paths that get dynamically imported (`/root/reference/utils/utils.py:12-25`).
+  For compatibility, reference file paths like ``models/det_base.py`` are
+  mapped to registry names by :data:`MODEL_FILE_ALIASES` /
+  :data:`DATA_FILE_ALIASES`.
+* Extra TPU-specific keys live under ``cfg.TPU`` (mesh shape, dtypes, host
+  pipeline) and have no counterpart in the reference.
+
+Fresh implementation (Detectron-style merge with type coercion, then frozen).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import io
+import os
+
+import numpy as np
+import yaml
+
+from frustum_convnet_tpu.configs.attrdict import AttrDict
+
+# Map the reference's code-path-valued config entries to registry names.
+MODEL_FILE_ALIASES = {
+    "models/det_base.py": "det_base",
+    "models/det_base_sunrgbd.py": "det_base_sunrgbd",
+}
+DATA_FILE_ALIASES = {
+    "datasets/provider_sample.py": "provider_sample",
+    "datasets/provider_sample_refine.py": "provider_sample_refine",
+    "datasets/provider_sample_sunrgbd.py": "provider_sample_sunrgbd",
+}
+
+
+def _build_default_cfg() -> AttrDict:
+    C = AttrDict()
+
+    # ---- Training options (ref configs/config.py:63-90) ----
+    C.TRAIN = AttrDict()
+    C.TRAIN.WEIGHTS = ""
+    C.TRAIN.BATCH_SIZE = 32
+    C.TRAIN.START_EPOCH = 0
+    C.TRAIN.MAX_EPOCH = 200
+    C.TRAIN.OPTIMIZER = "adam"  # adam | sgd
+    C.TRAIN.BASE_LR = 0.001
+    C.TRAIN.MIN_LR = 1e-5
+    C.TRAIN.LR_POLICY = "step"
+    C.TRAIN.GAMMA = 0.1
+    C.TRAIN.LR_STEPS = [20]
+    C.TRAIN.MOMENTUM = 0.9
+    C.TRAIN.WEIGHT_DECAY = 0.0
+    C.TRAIN.DATASET = "train"  # train | val | trainval
+
+    # ---- Model options (ref :94-98) ----
+    C.MODEL = AttrDict()
+    C.MODEL.FILE = ""  # registry name or reference file path alias
+    C.MODEL.NUM_CLASSES = 2
+
+    # ---- Test options (ref :102-115) ----
+    C.TEST = AttrDict()
+    C.TEST.WEIGHTS = ""
+    C.TEST.BATCH_SIZE = 32
+    C.TEST.METHOD = "top"  # nms | top
+    C.TEST.THRESH = 0.1  # NMS overlap threshold
+    C.TEST.DATASET = "val"  # val | test
+
+    # ---- Data options (ref :120-155) ----
+    C.DATA = AttrDict()
+    C.DATA.DATASET_NAME = "KITTI"  # KITTI | SUNRGBD
+    C.DATA.MAX_DEPTH = 70
+    C.DATA.FILE = ""  # registry name or reference file path alias
+    C.DATA.DATA_ROOT = "kitti"
+    C.DATA.WITH_EXTRA_FEAT = True  # intensity for KITTI, rgb for SUN-RGBD
+    C.DATA.EXTRA_FEAT_DIM = 1
+    C.DATA.NUM_SAMPLES = 1024
+    C.DATA.NUM_SAMPLES_DET = 512
+    C.DATA.CAR_ONLY = True
+    C.DATA.PEOPLE_ONLY = False
+    C.DATA.RTC = True  # rotate frustum to center view
+    C.DATA.NUM_HEADING_BIN = 12
+    C.DATA.STRIDE = (0.25, 0.5, 1.0, 2.0)  # sliding-frustum strides per scale
+    C.DATA.HEIGHT_HALF = (0.25, 0.5, 1.0, 2.0)  # depth half-window per scale
+    C.DATA.EXTEND_FROM_DET = False
+
+    # ---- Loss options (ref :159-167) ----
+    C.LOSS = AttrDict()
+    C.LOSS.BOX_LOSS_WEIGHT = 1.0
+    C.LOSS.CORNER_LOSS_WEIGHT = 10.0
+    C.LOSS.HEAD_REG_WEIGHT = 20.0
+    C.LOSS.SIZE_REG_WEIGHT = 20.0
+
+    # ---- Misc (ref :171-192) ----
+    C.RESUME = False
+    C.NUM_GPUS = 1  # kept for yaml compatibility; ignored (mesh rules)
+    C.OUTPUT_DIR = "/tmp"
+    C.SAVE_SUB_DIR = "test"
+    C.OVER_WRITE_TEST_FILE = ""
+    C.FROM_RGB_DET = False
+    C.NUM_WORKERS = 4
+    C.USE_TFBOARD = False
+    C.EVAL_MODE = False
+    C.IOU_THRESH = 0.7  # car 0.7, people 0.5, sunrgbd 0.25
+    C.disp = 50
+
+    # ---- TPU-native options (no reference counterpart) ----
+    C.TPU = AttrDict()
+    C.TPU.MESH_SHAPE = [-1]  # data-parallel axis; -1 = all devices
+    C.TPU.MESH_AXES = ["data"]
+    C.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
+    C.TPU.PREFETCH = 2  # host pipeline prefetch depth
+    C.TPU.DONATE = True  # donate train-state buffers to the jitted step
+    return C
+
+
+# The global config. Scripts merge yaml/CLI overrides into this then freeze it.
+cfg = _build_default_cfg()
+
+
+def get_default_cfg() -> AttrDict:
+    """A fresh, mutable copy of the default config tree."""
+    return _build_default_cfg()
+
+
+def assert_and_infer_cfg(config: AttrDict | None = None, make_immutable: bool = True) -> AttrDict:
+    """Finalize a config: resolve FILE aliases, sanity-check, then freeze."""
+    c = cfg if config is None else config
+    c.MODEL.FILE = MODEL_FILE_ALIASES.get(c.MODEL.FILE, c.MODEL.FILE)
+    c.DATA.FILE = DATA_FILE_ALIASES.get(c.DATA.FILE, c.DATA.FILE)
+    assert c.TEST.METHOD in ("nms", "top"), c.TEST.METHOD
+    assert c.TRAIN.OPTIMIZER in ("adam", "sgd"), c.TRAIN.OPTIMIZER
+    assert len(c.DATA.STRIDE) == len(c.DATA.HEIGHT_HALF)
+    if make_immutable:
+        c.immutable(True)
+    return c
+
+
+def load_cfg(cfg_file_or_str):
+    if hasattr(cfg_file_or_str, "read"):
+        cfg_file_or_str = cfg_file_or_str.read()
+    return yaml.safe_load(cfg_file_or_str)
+
+
+def merge_cfg_from_file(cfg_filename: str, config: AttrDict | None = None) -> None:
+    """Merge a yaml config file into the (global) config."""
+    with open(cfg_filename, "r") as f:
+        yaml_cfg = AttrDict(_to_attrdict(yaml.safe_load(f)))
+    _merge_a_into_b(yaml_cfg, cfg if config is None else config)
+
+
+def merge_cfg_from_cfg(cfg_other: AttrDict, config: AttrDict | None = None) -> None:
+    _merge_a_into_b(cfg_other, cfg if config is None else config)
+
+
+def merge_cfg_from_list(cfg_list, config: AttrDict | None = None) -> None:
+    """Merge ``[KEY, VALUE, KEY, VALUE, ...]`` CLI overrides (dotted keys)."""
+    target = cfg if config is None else config
+    assert len(cfg_list) % 2 == 0, "override list must be KEY VALUE pairs"
+    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        key_list = full_key.split(".")
+        d = target
+        for subkey in key_list[:-1]:
+            assert subkey in d, f"Non-existent key: {full_key}"
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, f"Non-existent key: {full_key}"
+        value = _decode_cfg_value(v)
+        value = _check_and_coerce_cfg_value_type(value, d[subkey], subkey, full_key)
+        d[subkey] = value
+
+
+def _to_attrdict(obj):
+    if isinstance(obj, dict):
+        return AttrDict({k: _to_attrdict(v) for k, v in obj.items()})
+    return obj
+
+
+def _merge_a_into_b(a: AttrDict, b: AttrDict, stack=None) -> None:
+    assert isinstance(a, AttrDict) and isinstance(b, AttrDict)
+    for k, v_ in a.items():
+        full_key = ".".join(stack) + "." + k if stack is not None else k
+        assert k in b, f"Non-existent config key: {full_key}"
+        v = copy.deepcopy(v_)
+        v = _decode_cfg_value(v)
+        v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
+        if isinstance(v, AttrDict):
+            _merge_a_into_b(v, b[k], (stack + [k]) if stack else [k])
+        else:
+            b[k] = v
+
+
+def _decode_cfg_value(v):
+    """Decode raw yaml/CLI values: parse strings as python literals if possible."""
+    if isinstance(v, dict) and not isinstance(v, AttrDict):
+        return AttrDict(_to_attrdict(v))
+    if not isinstance(v, str):
+        return v
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def _check_and_coerce_cfg_value_type(value, value_b, key, full_key):
+    """Coerce ``value`` to the type of the default ``value_b`` where sensible."""
+    type_b = type(value_b)
+    type_a = type(value)
+    if type_a is type_b or value_b is None:
+        return value
+    # numeric promotions
+    if isinstance(value_b, float) and isinstance(value, int):
+        return float(value)
+    if isinstance(value_b, int) and isinstance(value, float) and value == int(value):
+        return int(value)
+    # container conversions
+    if isinstance(value_b, tuple) and isinstance(value, list):
+        return tuple(value)
+    if isinstance(value_b, list) and isinstance(value, tuple):
+        return list(value)
+    if isinstance(value_b, np.ndarray):
+        return np.array(value, dtype=value_b.dtype)
+    if isinstance(value_b, str):
+        return str(value)
+    if isinstance(value_b, AttrDict) and isinstance(value, dict):
+        return AttrDict(_to_attrdict(value))
+    raise ValueError(
+        f"Type mismatch ({type_b} vs {type_a}) for config key: {full_key}"
+    )
