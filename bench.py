@@ -1,0 +1,94 @@
+"""Benchmark: end-to-end inference throughput (frustums/sec/chip) on TPU.
+
+Measures the full test-time hot path of the flagship 4-scale KITTI model at
+reference shapes (batch 32, 1024 points, 280/140/70/35 sections): grouping +
+multi-scale PointNet + 1D FCN + heads + box decode.
+
+Methodology: the per-call dispatch latency through the remote TPU relay is
+large and noisy, so the batch loop runs ON DEVICE — ``lax.scan`` over ITERS
+iterations inside one jit dispatch, with a data dependency chaining
+successive iterations so none can be elided or overlapped. Reported value is
+the best of TRIALS dispatches (min wall / ITERS).
+
+The reference publishes no throughput table (SURVEY.md §6); its test driver
+logs per-batch forward time on a single ~2018 GPU
+(`/root/reference/train/test_net_det.py:229-238`). REF_GPU_FRUSTUMS_PER_SEC
+is an estimated reference figure (batch 32 at ~50 ms/batch = 640 frustums/s)
+used to make ``vs_baseline`` meaningful; the BASELINE.json target is >=10x.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+REF_GPU_FRUSTUMS_PER_SEC = 640.0  # estimated reference GPU throughput (see above)
+BATCH = 32
+ITERS = 50
+TRIALS = 3
+
+
+def main():
+    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+    from frustum_convnet_tpu.data.fixtures import make_batch
+    from frustum_convnet_tpu.models.det import decode_outputs
+    from frustum_convnet_tpu.models.net import FrustumConvNet
+    from frustum_convnet_tpu.models.registry import get_model_spec
+
+    cfg = get_default_cfg()
+    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec)
+
+    batch = make_batch(spec, batch=BATCH, seed=0, with_labels=False)
+    pts = jnp.asarray(batch["point_cloud"])
+    one_hot = jnp.asarray(batch["one_hot"])
+    refs = tuple(jnp.asarray(r) for r in batch["refs"])
+
+    variables = jax.jit(
+        lambda p, o, r: model.init(jax.random.PRNGKey(3), p, o, list(r), train=False)
+    )(pts, one_hot, refs)
+
+    def one(pts_in):
+        cls_logits, reg = model.apply(variables, pts_in, one_hot, list(refs), train=False)
+        out = decode_outputs(spec, cls_logits, reg, refs[1])
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+
+    @jax.jit
+    def bench_loop(pts):
+        def body(carry, _):
+            # carry*1e-20 chains iterations without changing the math
+            return one(pts + carry * 1e-20), ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return s
+
+    jax.block_until_ready(bench_loop(pts))  # compile
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        s = bench_loop(pts)
+        float(s)  # host fetch fences the dispatch
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    frustums_per_sec = BATCH / best
+    print(json.dumps({
+        "metric": "inference_throughput_kitti_det_base",
+        "value": round(frustums_per_sec, 1),
+        "unit": "frustums/sec/chip",
+        "vs_baseline": round(frustums_per_sec / REF_GPU_FRUSTUMS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Detection loss and box decoding for FrustumConvNet.
+
+Pure functions over the network outputs; the math replicates the reference's
+training branch (`/root/reference/models/det_base.py:280-332,414-503`) and
+inference branch (`:380-412`), with two TPU-motivated redesigns:
+
+* the reference gathers foreground rows dynamically
+  (`fg_idx = (cls_label == 1).nonzero()`, `det_base.py:414-418`); here every
+  per-row loss is computed densely and reduced with fg masks — same value and
+  gradient (the reference divides by the same fg count), static shapes;
+* the per-step BEV/3D IoU training metric runs on device via the vectorized
+  rotated IoU (:func:`frustum_convnet_tpu.core.iou.iou_pair_3d`) instead of a
+  host round-trip through C++ (`det_base.py:495`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frustum_convnet_tpu.core import codecs
+from frustum_convnet_tpu.core.geometry import box3d_corners
+from frustum_convnet_tpu.core.iou import iou_pair_3d
+from frustum_convnet_tpu.models import losses as L
+from frustum_convnet_tpu.models.net import slice_reg_output
+from frustum_convnet_tpu.models.spec import DetModelSpec
+
+
+def decode_outputs(spec: DetModelSpec, cls_logits, reg, ref2):
+    """Inference decode (ref `det_base.py:380-412`).
+
+    Args: cls_logits (B, L, 2), reg (B, L, R), ref2 (B, L, 3).
+    Returns dict with cls_probs (B, L, 2), centers (B, L, 3), headings (B, L),
+    sizes (B, L, 3), heading_probs (B, L, nb), size_probs (B, L, ns).
+    """
+    mean_sizes = jnp.asarray(spec.mean_size_array)
+    center_off, h_scores, h_res, s_scores, s_res = slice_reg_output(reg, spec)
+    cls_probs = jax.nn.softmax(cls_logits, axis=-1)
+    heading_probs = jax.nn.softmax(h_scores, axis=-1)
+    size_probs = jax.nn.softmax(s_scores, axis=-1)
+    heading_bin = jnp.argmax(heading_probs, axis=-1)
+    size_cls = jnp.argmax(size_probs, axis=-1)
+    centers = ref2 + center_off
+    headings = codecs.angle_decode(h_res, heading_bin, num_bins=spec.num_bins)
+    sizes = codecs.size_decode(s_res, mean_sizes, size_cls)
+    return {
+        "cls_probs": cls_probs,
+        "centers": centers,
+        "headings": headings,
+        "sizes": sizes,
+        "heading_probs": heading_probs,
+        "size_probs": size_probs,
+    }
+
+
+def compute_losses(
+    spec: DetModelSpec,
+    cls_logits: jnp.ndarray,  # (B, L, 2)
+    reg: jnp.ndarray,  # (B, L, R)
+    ref2: jnp.ndarray,  # (B, L, 3)
+    labels: Dict[str, jnp.ndarray],
+    loss_weights: Dict[str, float],
+    iou_thresh: float = 0.7,
+    compute_metrics: bool = True,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Training losses + monitoring metrics.
+
+    labels: cls_label (B, L) in {-1, 0, 1}; box3d_center (B, 3);
+    box3d_heading (B,); box3d_size (B, 3); size_class (B,).
+    Loss weighting follows `det_base.py:465-476`.
+    """
+    mean_sizes = jnp.asarray(spec.mean_size_array)
+    B, num_out = cls_logits.shape[0], cls_logits.shape[1]
+    R = B * num_out
+
+    cls_label = labels["cls_label"].reshape(R)
+    fg = cls_label == 1
+    num_fg = jnp.maximum(jnp.sum(fg).astype(reg.dtype), 1.0)
+
+    # --- classification: focal with ignore (-1), normalized by #fg
+    cls_probs = jax.nn.softmax(cls_logits.reshape(R, -1), axis=-1)
+    cls_loss = L.softmax_focal_loss_masked(cls_probs, cls_label)
+
+    # --- broadcast per-frustum box labels to every section row
+    center_label = jnp.broadcast_to(labels["box3d_center"][:, None, :], (B, num_out, 3)).reshape(R, 3)
+    heading_label = jnp.broadcast_to(labels["box3d_heading"][:, None], (B, num_out)).reshape(R)
+    size_label = jnp.broadcast_to(labels["box3d_size"][:, None, :], (B, num_out, 3)).reshape(R, 3)
+    size_cls_label = jnp.broadcast_to(labels["size_class"][:, None], (B, num_out)).reshape(R)
+
+    center_off, h_scores, h_res, s_scores, s_res = slice_reg_output(reg.reshape(R, -1), spec)
+    ref2_flat = ref2.reshape(R, 3)
+
+    # --- encode targets (ref :437-440)
+    center_gt_off = codecs.center_encode(center_label, ref2_flat)
+    heading_bin_label, heading_res_label = codecs.angle_encode(heading_label, spec.num_bins)
+    size_res_label = codecs.size_encode(size_label, mean_sizes, size_cls_label)
+
+    # --- center: huber(||offset error||, delta=3) over fg (ref :280-285)
+    center_dist = jnp.linalg.norm(center_gt_off - center_off, axis=-1)
+    center_loss = L.masked_mean(L.huber(center_dist, 3.0), fg, num_fg)
+
+    # --- heading: CE + huber on gt-bin residual (ref :287-297)
+    heading_cls_loss = L.cross_entropy_masked(h_scores, heading_bin_label, fg, num_fg)
+    h_res_sel = jnp.take_along_axis(h_res, heading_bin_label[:, None], axis=-1)[:, 0]
+    heading_res_loss = L.masked_mean(L.huber(h_res_sel - heading_res_label, 1.0), fg, num_fg)
+
+    # --- size: CE + huber on ||residual error|| (ref :299-313)
+    size_cls_loss = L.cross_entropy_masked(s_scores, size_cls_label, fg, num_fg)
+    s_res_sel = jnp.take_along_axis(
+        s_res, size_cls_label[:, None, None].astype(jnp.int32), axis=-2
+    )[:, 0, :]
+    size_norm_dist = jnp.linalg.norm(size_res_label - s_res_sel, axis=-1)
+    size_res_loss = L.masked_mean(L.huber(size_norm_dist, 1.0), fg, num_fg)
+
+    # --- corner loss with flipped-gt min (ref :315-332,455-463)
+    center_preds = codecs.center_decode(ref2_flat, center_off)
+    heading_dec = codecs.angle_decode(h_res, heading_bin_label, num_bins=spec.num_bins)
+    size_dec = codecs.size_decode(s_res, mean_sizes, size_cls_label)
+    corners_gt = box3d_corners(center_label, heading_label, size_label)
+    corners_gt_flip = box3d_corners(center_label, heading_label + np.pi, size_label)
+    corners_pred = box3d_corners(center_preds, heading_dec, size_dec)
+    dist = jnp.minimum(
+        jnp.linalg.norm(corners_pred - corners_gt, axis=-1).mean(-1),
+        jnp.linalg.norm(corners_pred - corners_gt_flip, axis=-1).mean(-1),
+    )
+    corners_loss = L.masked_mean(L.huber(dist, 1.0), fg, num_fg)
+
+    w_box = loss_weights.get("box", 1.0)
+    w_corner = loss_weights.get("corner", 10.0)
+    w_hres = loss_weights.get("head_res", 20.0)
+    w_sres = loss_weights.get("size_res", 20.0)
+    total = cls_loss + w_box * (
+        center_loss + heading_cls_loss + size_cls_loss
+        + w_hres * heading_res_loss + w_sres * size_res_loss
+        + w_corner * corners_loss
+    )
+
+    loss_dict = {
+        "total_loss": total,
+        "cls_loss": cls_loss,
+        "center_loss": center_loss,
+        "head_cls_loss": heading_cls_loss,
+        "head_res_loss": heading_res_loss,
+        "size_cls_loss": size_cls_loss,
+        "size_res_loss": size_res_loss,
+        "corners_loss": corners_loss,
+    }
+
+    metrics = {}
+    if compute_metrics:
+        metrics = _compute_metrics(
+            spec, cls_probs, cls_label, fg, num_fg,
+            h_scores, h_res, heading_bin_label,
+            s_scores, s_res, size_cls_label,
+            center_preds, corners_gt, mean_sizes, iou_thresh,
+        )
+    return loss_dict, metrics
+
+
+def _compute_metrics(spec, cls_probs, cls_label, fg, num_fg,
+                     h_scores, h_res, heading_bin_label,
+                     s_scores, s_res, size_cls_label,
+                     center_preds, corners_gt, mean_sizes, iou_thresh):
+    """Monitoring metrics (ref `det_base.py:478-503`), fully on device."""
+    keep = cls_label != -1
+    cls_pred = jnp.argmax(cls_probs, axis=-1)
+    cls_acc = L.masked_mean((cls_pred == jnp.clip(cls_label, 0, None)).astype(jnp.float32), keep)
+    head_acc = L.masked_mean(
+        (jnp.argmax(h_scores, -1) == heading_bin_label).astype(jnp.float32), fg, num_fg)
+    size_acc = L.masked_mean(
+        (jnp.argmax(s_scores, -1) == size_cls_label).astype(jnp.float32), fg, num_fg)
+
+    # predicted boxes with argmax bins (as the reference metric does, :488-494)
+    heading_pred = codecs.angle_decode(h_res, jnp.argmax(h_scores, -1), num_bins=spec.num_bins)
+    size_pred = codecs.size_decode(s_res, mean_sizes, jnp.argmax(s_scores, -1))
+    corners_pred = box3d_corners(center_preds, heading_pred, size_pred)
+    iou_bev, iou_3d = iou_pair_3d(corners_pred, corners_gt)
+    return {
+        "cls_acc": cls_acc,
+        "head_acc": head_acc,
+        "size_acc": size_acc,
+        "IoU_2D": L.masked_mean(iou_bev, fg, num_fg),
+        "IoU_3D": L.masked_mean(iou_3d, fg, num_fg),
+        f"IoU_{iou_thresh}": L.masked_mean((iou_3d >= iou_thresh).astype(jnp.float32), fg, num_fg),
+    }

@@ -1,0 +1,185 @@
+"""FrustumConvNet in Flax: multi-scale PointNet + 1D FCN + detection heads.
+
+Architecture reproduces the reference computation graph
+(`/root/reference/models/det_base.py:35-258`, `det_base_sunrgbd.py:35-280`)
+but is TPU-native:
+
+* channels-last layouts everywhere: points (B, N, C), sections (B, L, C) —
+  every 1x1 conv becomes a Dense matmul that tiles straight onto the MXU;
+* grouping is the XLA `query_depth_point` top_k formulation (no CUDA scan);
+* one generic module parameterized by :class:`DetModelSpec` covers both the
+  4-scale KITTI and 5-scale SUN-RGBD variants;
+* BatchNorm statistics are computed over the *global* (mesh-wide) batch when
+  the batch axis is sharded under jit — the SPMD upgrade of the reference's
+  per-replica DataParallel BN.
+
+Initializers mirror the reference: kaiming-normal(fan_in) conv weights,
+unit-gamma/zero-beta BN (`models/common.py:18-35`, `det_base.py:185-194`),
+kaiming-uniform(fan_in) heads (`det_base.py:254-258`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from frustum_convnet_tpu.models.spec import DetModelSpec
+from frustum_convnet_tpu.ops.query_depth_point import group_points, query_depth_point
+
+_kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+_kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+class DenseBNReLU(nn.Module):
+    """1x1 conv + BN + ReLU as a Dense matmul (channels-last)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.features, use_bias=False, kernel_init=_kaiming_normal)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class ConvBNReLU(nn.Module):
+    """k-tap 1D conv + BN + ReLU over (B, L, C)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding=((self.pad, self.pad),),
+            use_bias=False,
+            kernel_init=_kaiming_normal,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class DeConvBNReLU(nn.Module):
+    """Transposed 1D conv (exact x`stride` upsampler) + BN + ReLU."""
+
+    features: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(self.kernel,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=False,
+            kernel_init=_kaiming_normal,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class PointNetScale(nn.Module):
+    """One grouping scale: depth-window query -> shared MLP -> section max-pool.
+
+    Reference: PointNetModule (`models/det_base.py:35-103`). The empty-section
+    zero-mask is applied after the MLP (before max-pool), exactly as there —
+    gathered index-0 duplicates still flow through BN statistics.
+    """
+
+    mlp: Sequence[int]
+    dist: float
+    nsample: int
+    use_feature: bool
+
+    @nn.compact
+    def __call__(self, points, ref, train: bool):
+        # points (B, N, C>=3); ref (B, M, 3)
+        idx, cnt = query_depth_point(points[..., 2], ref[..., 2], self.dist, self.nsample)
+        feats = points if self.use_feature else points[..., :3]
+        g = group_points(feats, ref, idx)  # (B, M, K, C)
+        for width in self.mlp:
+            g = DenseBNReLU(width)(g, train)
+        valid = (cnt > 0)[..., None, None]
+        g = jnp.where(valid, g, 0.0)
+        return jnp.max(g, axis=2)  # (B, M, mlp[-1])
+
+
+class FrustumConvNet(nn.Module):
+    """The full detector. Returns (cls_logits (B, L, 2), reg (B, L, R))."""
+
+    spec: DetModelSpec
+
+    @nn.compact
+    def __call__(self, points, one_hot, refs, train: bool = False):
+        """
+        Args:
+          points: (B, N, 3 + extra) frustum points, channels-last.
+          one_hot: (B, num_vec) category one-hot.
+          refs: list of (B, M_i, 3) section centers, one per scale.
+        """
+        s = self.spec
+        assert len(refs) == s.num_scales
+
+        # --- multi-scale pointnet features (ref PointNetFeat, det_base.py:107-159)
+        scale_feats = []
+        for i in range(s.num_scales):
+            f = PointNetScale(
+                mlp=s.mlps[i],
+                dist=s.height_half[i],
+                nsample=s.nsamples[i],
+                use_feature=s.use_extra_feature,
+                name=f"pointnet{i + 1}",
+            )(points, refs[i], train)
+            # append one-hot class vector at every section
+            oh = jnp.broadcast_to(one_hot[:, None, :], (f.shape[0], f.shape[1], one_hot.shape[-1]))
+            scale_feats.append(jnp.concatenate([f, oh], axis=-1))
+
+        # --- 1D conv encoder-decoder (ref ConvFeatNet, det_base.py:163-224)
+        ch = s.block_channels
+        x = ConvBNReLU(ch[0], 3, 1, 1, name="block1_conv1")(scale_feats[0], train)
+        laterals = []
+        for b in range(1, len(ch)):
+            x = ConvBNReLU(ch[b], 3, 2, 1, name=f"block{b + 1}_conv1")(x, train)
+            x = ConvBNReLU(ch[b], 3, 1, 1, name=f"block{b + 1}_conv2")(x, train)
+            x = jnp.concatenate([x, scale_feats[b]], axis=-1)
+            x = ConvBNReLU(ch[b], 1, 1, 0, name=f"block{b + 1}_merge")(x, train)
+            laterals.append(x)
+
+        ups = []
+        out_len = laterals[0].shape[1]
+        for b, lat in enumerate(laterals):
+            k = 2 ** b
+            u = DeConvBNReLU(s.deconv_channels, k, k, name=f"block{b + 2}_deconv")(lat, train)
+            ups.append(u[:, :out_len])
+        x = jnp.concatenate(ups, axis=-1)  # (B, L, head_channels)
+
+        # --- heads (ref det_base.py:250-258)
+        cls_logits = nn.Dense(s.num_classes, kernel_init=_kaiming_uniform, name="cls_out")(x)
+        reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform, name="reg_out")(x)
+        return cls_logits, reg
+
+
+def slice_reg_output(reg: jnp.ndarray, spec: DetModelSpec):
+    """Split the regression head output into its box-codec parts.
+
+    reg (..., 3 + 2*num_bins + 4*num_sizes) ->
+      center (..., 3), heading_scores (..., B), heading_res (..., B),
+      size_scores (..., S), size_res (..., S, 3).
+    Reference: `models/det_base.py:260-278`.
+    """
+    nb, ns = spec.num_bins, spec.num_sizes
+    center = reg[..., 0:3]
+    heading_scores = reg[..., 3:3 + nb]
+    heading_res = reg[..., 3 + nb:3 + 2 * nb]
+    size_scores = reg[..., 3 + 2 * nb:3 + 2 * nb + ns]
+    size_res = reg[..., 3 + 2 * nb + ns:].reshape(*reg.shape[:-1], ns, 3)
+    return center, heading_scores, heading_res, size_scores, size_res

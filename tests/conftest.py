@@ -7,7 +7,11 @@ jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin registers itself from sitecustomize whenever
+# PALLAS_AXON_POOL_IPS is set and then overrides the platform choice;
+# clear it so JAX_PLATFORMS=cpu actually yields the virtual CPU mesh.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,131 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+from frustum_convnet_tpu.models.registry import MODEL_REGISTRY
+from frustum_convnet_tpu.models.net import FrustumConvNet
+from frustum_convnet_tpu.models.det import compute_losses, decode_outputs
+
+
+def make_cfg(sunrgbd=False):
+    cfg = get_default_cfg()
+    if sunrgbd:
+        merge_cfg_from_list(
+            ["DATA.DATASET_NAME", "SUNRGBD", "DATA.MAX_DEPTH", "8",
+             "DATA.STRIDE", "(0.1, 0.2, 0.4, 0.8, 1.6)",
+             "DATA.HEIGHT_HALF", "(0.1, 0.2, 0.4, 0.8, 1.6)",
+             "DATA.NUM_SAMPLES", "256", "MODEL.FILE", "det_base_sunrgbd",
+             "DATA.WITH_EXTRA_FEAT", "False"],
+            cfg,
+        )
+    else:
+        merge_cfg_from_list(
+            ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
+             "DATA.NUM_SAMPLES", "128",
+             "DATA.MAX_DEPTH", "16"],  # small ladder for test speed
+            cfg,
+        )
+    return cfg
+
+
+def make_batch(spec, batch=2, rng=None):
+    rng = rng or np.random.default_rng(0)
+    pts = rng.uniform([-3, -2, 0], [3, 2, spec.max_depth], (batch, spec.num_points, 3)).astype(np.float32)
+    one_hot = np.zeros((batch, spec.num_vec), np.float32)
+    one_hot[:, 0] = 1
+    refs = []
+    for m, s in zip(spec.num_refs, spec.strides):
+        z = (np.arange(m) * s + s / 2).astype(np.float32)
+        r = np.zeros((batch, m, 3), np.float32)
+        r[:, :, 2] = z
+        refs.append(jnp.asarray(r))
+    return jnp.asarray(pts), jnp.asarray(one_hot), refs
+
+
+@pytest.mark.parametrize("sunrgbd", [False, True])
+def test_forward_shapes(sunrgbd):
+    cfg = make_cfg(sunrgbd)
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    model = FrustumConvNet(spec)
+    pts, one_hot, refs = make_batch(spec)
+
+    variables = jax.jit(
+        lambda p, o, r: model.init(jax.random.PRNGKey(0), p, o, r, train=False)
+    )(pts, one_hot, refs)
+    cls_logits, reg = jax.jit(
+        lambda v, p, o, r: model.apply(v, p, o, r, train=False)
+    )(variables, pts, one_hot, refs)
+
+    L = spec.num_out
+    assert cls_logits.shape == (2, L, 2)
+    assert reg.shape == (2, L, spec.reg_size)
+    assert np.isfinite(np.asarray(cls_logits)).all()
+    assert np.isfinite(np.asarray(reg)).all()
+
+
+def test_loss_and_grads_finite():
+    cfg = make_cfg(False)
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    model = FrustumConvNet(spec)
+    pts, one_hot, refs = make_batch(spec)
+    B, L = 2, spec.num_out
+
+    rng = np.random.default_rng(1)
+    labels = {
+        "cls_label": jnp.asarray(rng.choice([-1, 0, 1], (B, L), p=[0.1, 0.8, 0.1])),
+        "box3d_center": jnp.asarray(rng.uniform([-2, -1, 2], [2, 1, 12], (B, 3)).astype(np.float32)),
+        "box3d_heading": jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32)),
+        "box3d_size": jnp.asarray(rng.uniform(1, 4, (B, 3)).astype(np.float32)),
+        "size_class": jnp.asarray(rng.integers(0, spec.num_sizes, B)),
+    }
+    weights = {"box": 1.0, "corner": 10.0, "head_res": 20.0, "size_res": 20.0}
+
+    variables = jax.jit(
+        lambda p, o, r: model.init(jax.random.PRNGKey(0), p, o, r, train=True)
+    )(pts, one_hot, refs)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    def loss_fn(params):
+        (cls_logits, reg), new_vars = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pts, one_hot, refs, train=True, mutable=["batch_stats"],
+        )
+        losses, metrics = compute_losses(
+            spec, cls_logits, reg, refs[1], labels, weights
+        )
+        return losses["total_loss"], (losses, metrics)
+
+    (total, (losses, metrics)), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(params)
+
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least some gradient signal everywhere
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_decode_shapes():
+    cfg = make_cfg(False)
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    B, L = 2, spec.num_out
+    rng = np.random.default_rng(2)
+    cls_logits = jnp.asarray(rng.normal(size=(B, L, 2)).astype(np.float32))
+    reg = jnp.asarray(rng.normal(size=(B, L, spec.reg_size)).astype(np.float32))
+    ref2 = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    out = jax.jit(lambda c, r, f: decode_outputs(spec, c, r, f))(cls_logits, reg, ref2)
+    assert out["centers"].shape == (B, L, 3)
+    assert out["headings"].shape == (B, L)
+    assert out["sizes"].shape == (B, L, 3)
+    assert out["cls_probs"].shape == (B, L, 2)
+    # decoded headings wrapped to (-pi, pi]
+    h = np.asarray(out["headings"])
+    assert (h <= np.pi + 1e-5).all() and (h > -np.pi - 0.6).all()
