@@ -1,0 +1,49 @@
+"""Raw KITTI dataset access (images / calib / labels / velodyne).
+
+Fresh equivalent of `/root/reference/kitti/kitti_object.py:22-62` — path
+layout ``<root>/<training|testing>/{image_2,calib,label_2,velodyne}`` with
+6-digit frame ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from frustum_convnet_tpu.data.kitti.calib import Calibration, load_velo_scan, read_label
+
+
+class KittiObjectDataset:
+    def __init__(self, root: str, split: str = "training"):
+        assert split in ("training", "testing"), split
+        self.root = root
+        self.split = split
+        self.split_dir = os.path.join(root, split)
+        self.image_dir = os.path.join(self.split_dir, "image_2")
+        self.calib_dir = os.path.join(self.split_dir, "calib")
+        self.label_dir = os.path.join(self.split_dir, "label_2")
+        self.lidar_dir = os.path.join(self.split_dir, "velodyne")
+
+    def get_calibration(self, idx: int) -> Calibration:
+        return Calibration(os.path.join(self.calib_dir, f"{idx:06d}.txt"))
+
+    def get_label_objects(self, idx: int):
+        assert self.split == "training"
+        return read_label(os.path.join(self.label_dir, f"{idx:06d}.txt"))
+
+    def get_lidar(self, idx: int) -> np.ndarray:
+        return load_velo_scan(os.path.join(self.lidar_dir, f"{idx:06d}.bin"))
+
+    def get_image_size(self, idx: int):
+        """(height, width) without decoding the full image when possible."""
+        from PIL import Image
+
+        with Image.open(os.path.join(self.image_dir, f"{idx:06d}.png")) as im:
+            return im.height, im.width
+
+    def get_image(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(os.path.join(self.image_dir, f"{idx:06d}.png")) as im:
+            return np.asarray(im)

@@ -1,0 +1,118 @@
+"""End-to-end data path: synthetic raw KITTI -> prep CLI -> provider -> batch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+from frustum_convnet_tpu.data import pickle_io
+from frustum_convnet_tpu.data.kitti.prepare import (
+    extract_frustum_data,
+    extract_frustum_data_rgb_detection,
+)
+from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+from frustum_convnet_tpu.data.provider import FrustumProvider, collate_batch
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_raw"))
+    make_synthetic_kitti(root, num_frames=4, cars_per_frame=2, seed=0)
+    return root
+
+
+@pytest.fixture(scope="module")
+def pickle_dir(kitti_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pickles"))
+    n = extract_frustum_data(
+        os.path.join(kitti_root, "image_sets", "train.txt"), "training",
+        os.path.join(out, "frustum_caronly_train.pickle"), kitti_root,
+        perturb_box2d=True, augmentX=3, type_whitelist=("Car",))
+    assert n > 0
+    n = extract_frustum_data(
+        os.path.join(kitti_root, "image_sets", "val.txt"), "training",
+        os.path.join(out, "frustum_caronly_val.pickle"), kitti_root,
+        perturb_box2d=False, augmentX=1, type_whitelist=("Car",))
+    assert n > 0
+    n = extract_frustum_data_rgb_detection(
+        os.path.join(kitti_root, "rgb_detections", "rgb_detection_val.txt"),
+        "training",
+        os.path.join(out, "frustum_caronly_val_rgb_detection.pickle"),
+        kitti_root, type_whitelist=("Car",))
+    assert n > 0
+    return out
+
+
+def make_cfg(pickle_dir):
+    cfg = get_default_cfg()
+    merge_cfg_from_list(
+        ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
+         "DATA.DATA_ROOT", pickle_dir, "DATA.CAR_ONLY", "True",
+         "DATA.NUM_SAMPLES", "256"],
+        cfg,
+    )
+    return cfg
+
+
+def test_pickle_roundtrip(pickle_dir):
+    data = pickle_io.read_stream_pickle(
+        os.path.join(pickle_dir, "frustum_caronly_train.pickle"),
+        pickle_io.KITTI_LABELED_FIELDS)
+    n = len(data["id"])
+    assert n > 0
+    assert data["box3d"][0].shape == (8, 3)
+    assert data["points"][0].shape[1] == 4
+    # foreground labels exist
+    assert sum(s.sum() for s in data["seg"]) > 0
+
+
+def test_provider_item_labeled(pickle_dir):
+    cfg = make_cfg(pickle_dir)
+    ds = FrustumProvider(cfg, "train", random_flip=True, random_shift=True)
+    rng = np.random.default_rng(3)
+    item = ds.__getitem__(0, rng)
+    assert item["point_cloud"].shape == (256, 3)
+    assert len(item["refs"]) == 4
+    assert item["refs"][0].shape == (280, 3)
+    assert item["refs"][1].shape == (140, 3)
+    # at least one positive section (nearest forced if none inside)
+    assert (item["cls_label"] == 1).sum() >= 1
+    assert item["one_hot"].shape == (3,)
+    assert item["one_hot"][0] == 1  # Car
+
+    # after rotate-to-center, the gt box center should sit near the z axis
+    c = item["box3d_center"]
+    assert abs(c[0]) < 0.3 * abs(c[2]) + 2.0
+
+
+def test_provider_rgb_detection(pickle_dir):
+    cfg = make_cfg(pickle_dir)
+    ds = FrustumProvider(cfg, "val", from_rgb_detection=True)
+    item = ds.__getitem__(0, np.random.default_rng(0))
+    assert "rgb_prob" in item and "cls_label" not in item
+    assert item["point_cloud"].shape == (256, 3)
+
+
+def test_collate_matches_model_layout(pickle_dir):
+    cfg = make_cfg(pickle_dir)
+    ds = FrustumProvider(cfg, "train")
+    rng = np.random.default_rng(0)
+    items = [ds.__getitem__(i % len(ds), rng) for i in range(4)]
+    batch = collate_batch(items, num_scales=4)
+    assert batch["point_cloud"].shape == (4, 256, 3)
+    assert batch["refs"][1].shape == (4, 140, 3)
+    assert batch["cls_label"].shape == (4, 140)
+    assert batch["box3d_center"].shape == (4, 3)
+
+
+def test_section_labels_sane(pickle_dir):
+    """Positive sections must actually be near the gt center in depth."""
+    cfg = make_cfg(pickle_dir)
+    ds = FrustumProvider(cfg, "val")
+    rng = np.random.default_rng(1)
+    for i in range(min(4, len(ds))):
+        item = ds.__getitem__(i, rng)
+        pos = item["refs"][1][item["cls_label"] == 1]
+        gt_z = item["box3d_center"][2]
+        assert np.abs(pos[:, 2] - gt_z).min() < 3.0
