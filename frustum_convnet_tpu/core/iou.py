@@ -30,13 +30,22 @@ def _ensure_ccw(quad: jnp.ndarray) -> jnp.ndarray:
 
 
 def _points_in_quad(pts: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
-    """pts (P, 2) inside CCW quad (4, 2) -> bool (P,). Inclusive with eps."""
+    """pts (P, 2) inside CCW quad (4, 2) -> bool (P,). Inclusive.
+
+    The on-edge tolerance must scale with the magnitude of the cross-product
+    terms: float32 ulp at coordinate~70 products is far above any absolute
+    epsilon, and backend-dependent FMA fusion flips the sign of exact-zero
+    crosses (a quad vertex must always test inside its own quad).
+    """
     a = quad  # (4, 2)
     b = jnp.roll(quad, -1, axis=0)
     e = b - a  # (4, 2)
     d = pts[:, None, :] - a[None, :, :]  # (P, 4, 2)
-    cross = e[None, :, 0] * d[:, :, 1] - e[None, :, 1] * d[:, :, 0]
-    return jnp.all(cross >= -_EPS, axis=1)
+    t1 = e[None, :, 0] * d[:, :, 1]
+    t2 = e[None, :, 1] * d[:, :, 0]
+    cross = t1 - t2
+    tol = 1e-5 * (jnp.abs(t1) + jnp.abs(t2) + 1.0)
+    return jnp.all(cross >= -tol, axis=1)
 
 
 def _edge_intersections(qa: jnp.ndarray, qb: jnp.ndarray):

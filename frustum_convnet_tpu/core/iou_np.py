@@ -10,6 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 
+def _cross2(a: np.ndarray, b: np.ndarray) -> float:
+    """2D scalar cross product (np.cross on 2-vectors is deprecated)."""
+    return float(a[0] * b[1] - a[1] * b[0])
+
+
 def _signed_area(poly: np.ndarray) -> float:
     x, y = poly[:, 0], poly[:, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
@@ -32,8 +37,8 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
             break
         for j, cur in enumerate(input_list):
             prv = input_list[j - 1]
-            cur_in = np.cross(edge, cur - a) >= 0
-            prv_in = np.cross(edge, prv - a) >= 0
+            cur_in = _cross2(edge, cur - a) >= 0
+            prv_in = _cross2(edge, prv - a) >= 0
             if cur_in:
                 if not prv_in:
                     output.append(_seg_line_intersect(prv, cur, a, b))
@@ -46,10 +51,10 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 def _seg_line_intersect(p0, p1, a, b):
     d = p1 - p0
     e = b - a
-    denom = np.cross(e, d)
+    denom = _cross2(e, d)
     if abs(denom) < 1e-14:
         return p1
-    t = np.cross(e, a - p0) / denom
+    t = _cross2(e, a - p0) / denom
     return p0 + t * d
 
 

@@ -1,0 +1,51 @@
+"""Logging: file+console logger and a lightweight scalar writer.
+
+``get_logger`` mirrors the reference's dual-sink logger
+(`/root/reference/utils/utils.py:70-82`). ``ScalarWriter`` replaces the TF1
+TensorBoard wrapper (`utils/logger.py:12-72`) with a dependency-free JSONL
+scalar log under ``<output_dir>/tb_logger/<tag>.jsonl`` — greppable, and
+trivially convertible to TensorBoard if needed.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+
+def get_logger(log_file: str | None = None, name: str = "frustum_tpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file), exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class ScalarWriter:
+    def __init__(self, output_dir: str, tag: str):
+        d = os.path.join(output_dir, "tb_logger")
+        os.makedirs(d, exist_ok=True)
+        self.path = os.path.join(d, f"{tag}.jsonl")
+        self._f = open(self.path, "a")
+
+    def scalar_summary(self, key: str, value: float, step: int):
+        self._f.write(json.dumps(
+            {"step": step, "key": key, "value": float(value), "ts": time.time()}) + "\n")
+
+    def scalars(self, values: dict, step: int):
+        for k, v in values.items():
+            self.scalar_summary(k, v, step)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
