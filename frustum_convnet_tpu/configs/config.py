@@ -89,6 +89,10 @@ def _build_default_cfg() -> AttrDict:
     C.DATA.STRIDE = (0.25, 0.5, 1.0, 2.0)  # sliding-frustum strides per scale
     C.DATA.HEIGHT_HALF = (0.25, 0.5, 1.0, 2.0)  # depth half-window per scale
     C.DATA.EXTEND_FROM_DET = False
+    # TPU-only: static section-ladder span (meters) for the refine provider.
+    # The reference pads refine ref counts per batch (dynamic shapes,
+    # `provider_sample_refine.py:388-419`); a fixed span keeps shapes static.
+    C.DATA.REFINE_MAX_SPAN = 6.4
 
     # ---- Loss options (ref :159-167) ----
     C.LOSS = AttrDict()

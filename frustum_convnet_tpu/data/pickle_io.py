@@ -28,10 +28,15 @@ KITTI_LABELED_FIELDS = [
 KITTI_RGBDET_FIELDS = [
     "id", "box2d", "points", "type", "frustum_angle", "prob", "calib",
 ]
-REFINE_LABELED_FIELDS = KITTI_LABELED_FIELDS + [
+# refine stage stream orders follow `datasets/provider_sample_refine.py:101-117`
+# (box2d after frustum_angle; pred box = the x1.2-enlarged stage-1 box)
+REFINE_LABELED_FIELDS = [
+    "id", "box3d", "points", "seg", "type", "heading", "size",
+    "frustum_angle", "box2d", "calib",
     "pred_box3d", "pred_box3d_size", "pred_box3d_angle",
 ]
-REFINE_RGBDET_FIELDS = KITTI_RGBDET_FIELDS + [
+REFINE_RGBDET_FIELDS = [
+    "id", "box2d", "points", "type", "frustum_angle", "prob", "calib",
     "pred_box3d", "pred_box3d_size", "pred_box3d_angle",
 ]
 

@@ -45,6 +45,9 @@ class DetModelSpec:
     num_points: int  # padded points per frustum (N)
     extra_feat_dim: int  # channels beyond xyz (0 or e.g. 1 intensity / 3 rgb)
     use_extra_feature: bool  # feed extra channels into the pointnets
+    # refine stage: fixed ladder span (meters) instead of max_depth; None for
+    # stage-1 providers whose ladder spans [0, max_depth)
+    ref_span: float | None = None
 
     @property
     def num_scales(self) -> int:
@@ -52,9 +55,10 @@ class DetModelSpec:
 
     @property
     def num_refs(self) -> Tuple[int, ...]:
-        """Sections per scale: ceil(max_depth / stride) like the provider's
-        ``arange(0, max_depth, stride)`` grid (`datasets/provider_sample.py:296`)."""
-        return tuple(int(np.ceil(self.max_depth / s - 1e-9)) for s in self.strides)
+        """Sections per scale: ceil(span / stride) like the provider's
+        ``arange(0, span, stride)`` grid (`datasets/provider_sample.py:296`)."""
+        span = self.ref_span if self.ref_span is not None else self.max_depth
+        return tuple(int(np.ceil(span / s - 1e-9)) for s in self.strides)
 
     @property
     def num_out(self) -> int:
@@ -78,7 +82,9 @@ class DetModelSpec:
 def kitti_spec(cfg) -> DetModelSpec:
     info = DATASET_INFO[cfg.DATA.DATASET_NAME]
     extra = cfg.DATA.EXTRA_FEAT_DIM if cfg.DATA.WITH_EXTRA_FEAT else 0
+    is_refine = cfg.DATA.FILE == "provider_sample_refine"
     return DetModelSpec(
+        ref_span=float(cfg.DATA.REFINE_MAX_SPAN) if is_refine else None,
         name="det_base",
         strides=tuple(cfg.DATA.STRIDE),
         height_half=tuple(cfg.DATA.HEIGHT_HALF),
