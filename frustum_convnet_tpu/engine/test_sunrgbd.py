@@ -1,0 +1,148 @@
+"""SUN-RGBD inference/eval driver CLI.
+
+The TPU counterpart of `/root/reference/train/test_net_det_sunrgbd.py`:
+batched inference over the SUN-RGBD provider, per-frustum selection
+(``nms`` keeps sections with fg prob > 0.5, argmax fallback; ``top`` keeps
+the best section — ref :208-221), score = 2D detector prob + max size prob
+(ref :229), decode to centroid-anchored boxes, convert to 8-corner form,
+optional 3D NMS, then in-process VOC AP at 3D IoU ``cfg.IOU_THRESH``
+(default 0.25) against GT built from the label files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frustum_convnet_tpu.configs import (assert_and_infer_cfg, cfg,
+                                         merge_cfg_from_file, merge_cfg_from_list)
+from frustum_convnet_tpu.core import geometry_np as gnp
+from frustum_convnet_tpu.core.nms import rotate_nms_3d
+from frustum_convnet_tpu.data.provider import collate_batch
+from frustum_convnet_tpu.data.provider_sunrgbd import (
+    FrustumSunrgbdProvider, from_prediction_to_label_format)
+from frustum_convnet_tpu.data.sunrgbd.prepare import TYPE_WHITELIST_10
+from frustum_convnet_tpu.engine.test import build_infer_fn, load_state_for_test
+from frustum_convnet_tpu.evaluation.sunrgbd_eval import build_gt_all, eval_det
+from frustum_convnet_tpu.models.net import FrustumConvNet
+from frustum_convnet_tpu.models.registry import get_model_spec
+from frustum_convnet_tpu.utils.logger import get_logger
+
+FG_PROB_THRESH = 0.5
+
+
+def corners_from_params(center, size, heading) -> np.ndarray:
+    """Centroid-anchored box -> 8 corners (camera convention, l/w/h order)."""
+    return gnp.box3d_corners(np.asarray(center), np.asarray(size), float(heading))
+
+
+def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger):
+    infer = build_infer_fn(model, spec)
+    n = len(dataset)
+    det_results: dict = {}
+    rng = np.random.default_rng(0)
+    num_batches = (n + batch_size - 1) // batch_size
+
+    for bi in range(num_batches):
+        idxs = list(range(bi * batch_size, min((bi + 1) * batch_size, n)))
+        idxs_padded = idxs + [idxs[-1]] * (batch_size - len(idxs))
+        items = [dataset.__getitem__(i, rng) for i in idxs_padded]
+        batch = collate_batch(items, spec.num_scales)
+        out = jax.device_get(infer(
+            state.params, state.batch_stats,
+            jnp.asarray(batch["point_cloud"]), jnp.asarray(batch["one_hot"]),
+            tuple(jnp.asarray(r) for r in batch["refs"])))
+        rgb_probs = batch.get("rgb_prob", np.ones(batch_size, np.float32)).reshape(-1)
+        rot_angles = batch["rot_angle"].reshape(-1)
+
+        for k, gi in enumerate(idxs):
+            cls_probs = out["cls_probs"][k]
+            if method == "nms":
+                fg_idx = np.nonzero(cls_probs[:, 1] > FG_PROB_THRESH)[0]
+                if fg_idx.size == 0:
+                    fg_idx = np.array([np.argmax(cls_probs[:, 1])])
+            else:
+                fg_idx = np.array([np.argmax(cls_probs[:, 1])])
+
+            scores = rgb_probs[k] + out["size_probs"][k][fg_idx].max(axis=1)
+            data_idx = int(dataset.data["id"][gi])
+            class_type = dataset.data["type"][gi]
+            box2d = np.asarray(dataset.data["box2d"][gi])
+            per_cls = det_results.setdefault(data_idx, {}).setdefault(class_type, [])
+            for m, s in zip(fg_idx, scores):
+                tx, ty, tz, l, w, h, ry = from_prediction_to_label_format(
+                    out["centers"][k][m], out["headings"][k][m],
+                    out["sizes"][k][m], rot_angles[k])
+                if h < 0.01 or w < 0.01 or l < 0.01:
+                    continue
+                per_cls.append([box2d[0], box2d[1], box2d[2], box2d[3],
+                                tx, ty, tz, l, w, h, ry, float(s)])
+        if (bi + 1) % 20 == 0:
+            logger.info(f"batch {bi + 1}/{num_batches}")
+    return det_results
+
+
+def to_corner_results(det_results, nms_threshold=None):
+    """{img: {cls: [entry]}} -> {cls: {img: [(corners, score)]}} (+ 3D NMS)."""
+    all_results: dict = {}
+    for idx, per_class in det_results.items():
+        for cls, dets in per_class.items():
+            arr = np.asarray(dets, dtype=np.float64)
+            if nms_threshold is not None and len(arr) > 1:
+                # (tx,ty,tz,l,w,h,ry,score): already center-anchored
+                keep = rotate_nms_3d(arr[:, 4:], nms_threshold)
+                arr = arr[keep]
+            for det in arr:
+                corners = corners_from_params(det[4:7], det[7:10], det[10])
+                all_results.setdefault(cls, {}).setdefault(idx, []).append(
+                    (corners, float(det[11])))
+    return all_results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Test FrustumConvNet on SUN-RGBD")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--sunrgbd_dir", default="sunrgbd/mysunrgbd")
+    parser.add_argument("--val_idx", default="sunrgbd/image_sets/val.txt")
+    parser.add_argument("--no_eval", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = parser.parse_args(argv)
+
+    merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg()
+
+    result_dir = os.path.join(cfg.OUTPUT_DIR, cfg.SAVE_SUB_DIR, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    logger = get_logger(os.path.join(result_dir, "test.log"))
+
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec)
+    dataset = FrustumSunrgbdProvider(
+        cfg, cfg.TEST.DATASET, one_hot=True,
+        from_rgb_detection=cfg.FROM_RGB_DET,
+        overwritten_data_path=cfg.OVER_WRITE_TEST_FILE)
+    logger.info(f"test frustums: {len(dataset)}")
+
+    state = load_state_for_test(model, spec, cfg, dataset, logger)
+    det_results = run_test_sunrgbd(model, spec, state, dataset,
+                                   cfg.TEST.BATCH_SIZE, cfg.TEST.METHOD, logger)
+    nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
+    pred_all = to_corner_results(det_results, nms_thresh)
+
+    if not args.no_eval:
+        idx_list = [int(l) for l in open(args.val_idx) if l.strip()]
+        gt_all = build_gt_all(args.sunrgbd_dir, idx_list, TYPE_WHITELIST_10)
+        recs, precs, aps = eval_det(pred_all, gt_all, ovthresh=cfg.IOU_THRESH,
+                                    result_dir=result_dir)
+        return aps
+    return pred_all
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""SUN-RGBD VOC-style AP evaluation (3D IoU, default threshold 0.25).
+
+Fresh implementation of the protocol in
+`/root/reference/train/sunrgbd_eval/eval_det.py:41-231`:
+
+* per class, detections sorted by confidence, greedily matched against
+  unmatched GT boxes by max 3D IoU; TP iff IoU > ovthresh;
+* AP = area under the interpolated PR curve (``voc_ap``; optional VOC07
+  11-point variant);
+* box representation is 8 corners in the upright camera frame.
+
+The reference reads its ground truth from MATLAB toolbox dumps
+(`compare_matlab_python_eval.py:25-79`) to pin Python AP to the MATLAB
+evaluator; here :func:`build_gt_all` constructs the equivalent structure
+directly from SUN-RGBD label files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from frustum_convnet_tpu.core.iou_np import rotated_iou_3d_np
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> float:
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = np.max(prec[rec >= t]) if np.sum(rec >= t) > 0 else 0.0
+            ap += p / 11.0
+        return float(ap)
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def get_iou_3d(corners1: np.ndarray, corners2: np.ndarray) -> float:
+    return rotated_iou_3d_np(corners1, corners2)[1]
+
+
+def eval_det_cls(pred: Dict[int, List[Tuple[np.ndarray, float]]],
+                 gt: Dict[int, List[np.ndarray]],
+                 ovthresh: float = 0.25, use_07_metric: bool = False):
+    """One class: pred {img: [(corners, score)]}, gt {img: [corners]}."""
+    class_recs = {}
+    npos = 0
+    for img_id, boxes in gt.items():
+        class_recs[img_id] = {"bbox": list(boxes), "det": [False] * len(boxes)}
+        npos += len(boxes)
+    for img_id in pred:
+        class_recs.setdefault(img_id, {"bbox": [], "det": []})
+
+    image_ids, confidence, BB = [], [], []
+    for img_id, dets in pred.items():
+        for box, score in dets:
+            image_ids.append(img_id)
+            confidence.append(score)
+            BB.append(box)
+    nd = len(image_ids)
+    if nd == 0 or npos == 0:
+        return np.zeros(0), np.zeros(0), 0.0
+
+    order = np.argsort(-np.asarray(confidence))
+    tp = np.zeros(nd)
+    fp = np.zeros(nd)
+    for rank, d in enumerate(order):
+        rec_entry = class_recs[image_ids[d]]
+        ovmax, jmax = -np.inf, -1
+        for j, gt_box in enumerate(rec_entry["bbox"]):
+            iou = get_iou_3d(np.asarray(BB[d], dtype=float), np.asarray(gt_box, dtype=float))
+            if iou > ovmax:
+                ovmax, jmax = iou, j
+        if ovmax > ovthresh and not rec_entry["det"][jmax]:
+            tp[rank] = 1.0
+            rec_entry["det"][jmax] = True
+        else:
+            fp[rank] = 1.0
+
+    fp = np.cumsum(fp)
+    tp = np.cumsum(tp)
+    rec = tp / float(npos)
+    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    return rec, prec, voc_ap(rec, prec, use_07_metric)
+
+
+def eval_det(pred_all: Dict[str, Dict[int, List[Tuple[np.ndarray, float]]]],
+             gt_all: Dict[str, Dict[int, List[np.ndarray]]],
+             ovthresh: float = 0.25, use_07_metric: bool = False,
+             result_dir: str | None = None):
+    """All classes: returns ({cls: rec}, {cls: prec}, {cls: ap})."""
+    recs, precs, aps = {}, {}, {}
+    for cls in sorted(set(pred_all) | set(gt_all)):
+        recs[cls], precs[cls], aps[cls] = eval_det_cls(
+            pred_all.get(cls, {}), gt_all.get(cls, {}), ovthresh, use_07_metric)
+        print(f"{cls} AP: {aps[cls] * 100:.2f}")
+    mean_ap = float(np.mean(list(aps.values()))) if aps else 0.0
+    print(f"mAP: {mean_ap * 100:.2f}")
+    if result_dir:
+        import json
+        import os
+        with open(os.path.join(result_dir, "sunrgbd_ap.json"), "w") as f:
+            json.dump({"ap": {k: float(v) for k, v in aps.items()},
+                       "mAP": mean_ap}, f, indent=2)
+    return recs, precs, aps
+
+
+def build_gt_all(sunrgbd_dir: str, idx_list, type_whitelist) -> Dict[str, Dict[int, List[np.ndarray]]]:
+    """{classname: {img_id: [8-corner boxes in upright camera]}} from labels."""
+    from frustum_convnet_tpu.data.sunrgbd.calib import compute_box3d_upright_depth
+    from frustum_convnet_tpu.data.sunrgbd.object import SunrgbdObjectDataset
+
+    dataset = SunrgbdObjectDataset(sunrgbd_dir, "training")
+    gt_all: Dict[str, Dict[int, List[np.ndarray]]] = {}
+    for idx in idx_list:
+        calib = dataset.get_calibration(idx)
+        for obj in dataset.get_label_objects(idx):
+            if obj.classname not in type_whitelist:
+                continue
+            corners = calib.upright_depth_to_upright_camera(
+                compute_box3d_upright_depth(obj))
+            gt_all.setdefault(obj.classname, {}).setdefault(idx, []).append(corners)
+    return gt_all
