@@ -17,7 +17,8 @@ from typing import Dict, Iterable, List
 import numpy as np
 
 from frustum_convnet_tpu.core.geometry_np import compute_alpha
-from frustum_convnet_tpu.core.nms import rotate_nms_3d
+# native C++ NMS when built (make -C native), numpy fallback otherwise
+from frustum_convnet_tpu.ops.native import rotate_nms_3d
 
 # det entry layout (matches the test driver accumulation):
 # [x1, y1, x2, y2, tx, ty, tz, h, w, l, ry, score]
