@@ -26,7 +26,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from frustum_convnet_tpu.models.spec import DetModelSpec
-from frustum_convnet_tpu.ops.query_depth_point import group_points, query_depth_point
+from frustum_convnet_tpu.ops.query_depth_point import (grid_max_run, group_points,
+                                                       query_depth_point,
+                                                       query_depth_point_grid)
 
 _kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
@@ -99,11 +101,20 @@ class PointNetScale(nn.Module):
     dist: float
     nsample: int
     use_feature: bool
+    # nominal ladder stride: enables the fast sorted-grid query (bit-identical
+    # to the dense top_k path for the providers' ascending ladders); None
+    # falls back to the general-order query
+    stride: float | None = None
 
     @nn.compact
     def __call__(self, points, ref, train: bool):
         # points (B, N, C>=3); ref (B, M, 3)
-        idx, cnt = query_depth_point(points[..., 2], ref[..., 2], self.dist, self.nsample)
+        if self.stride is not None:
+            idx, cnt = query_depth_point_grid(
+                points[..., 2], ref[..., 2], self.dist, self.nsample,
+                grid_max_run(self.dist, self.stride))
+        else:
+            idx, cnt = query_depth_point(points[..., 2], ref[..., 2], self.dist, self.nsample)
         feats = points if self.use_feature else points[..., :3]
         g = group_points(feats, ref, idx)  # (B, M, K, C)
         for width in self.mlp:
@@ -137,6 +148,7 @@ class FrustumConvNet(nn.Module):
                 dist=s.height_half[i],
                 nsample=s.nsamples[i],
                 use_feature=s.use_extra_feature,
+                stride=s.strides[i],
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train)
             # append one-hot class vector at every section
