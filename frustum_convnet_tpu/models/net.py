@@ -26,9 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from frustum_convnet_tpu.models.spec import DetModelSpec
-from frustum_convnet_tpu.ops.query_depth_point import (grid_max_run, group_points,
-                                                       query_depth_point,
-                                                       query_depth_point_grid)
+from frustum_convnet_tpu.ops.select_pallas import group_depth_point_auto
 
 _kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
@@ -101,22 +99,14 @@ class PointNetScale(nn.Module):
     dist: float
     nsample: int
     use_feature: bool
-    # nominal ladder stride: enables the fast sorted-grid query (bit-identical
-    # to the dense top_k path for the providers' ascending ladders); None
-    # falls back to the general-order query
-    stride: float | None = None
 
     @nn.compact
     def __call__(self, points, ref, train: bool):
-        # points (B, N, C>=3); ref (B, M, 3)
-        if self.stride is not None:
-            idx, cnt = query_depth_point_grid(
-                points[..., 2], ref[..., 2], self.dist, self.nsample,
-                grid_max_run(self.dist, self.stride))
-        else:
-            idx, cnt = query_depth_point(points[..., 2], ref[..., 2], self.dist, self.nsample)
+        # points (B, N, C>=3); ref (B, M, 3) in any order (the Pallas select
+        # kernel has no sorted-ladder assumption, so padded refine ladders
+        # with duplicated tail sections are handled exactly)
         feats = points if self.use_feature else points[..., :3]
-        g = group_points(feats, ref, idx)  # (B, M, K, C)
+        g, cnt = group_depth_point_auto(feats, ref, self.dist, self.nsample)
         for width in self.mlp:
             g = DenseBNReLU(width)(g, train)
         valid = (cnt > 0)[..., None, None]
@@ -148,7 +138,6 @@ class FrustumConvNet(nn.Module):
                 dist=s.height_half[i],
                 nsample=s.nsamples[i],
                 use_feature=s.use_extra_feature,
-                stride=s.strides[i],
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train)
             # append one-hot class vector at every section

@@ -1,0 +1,283 @@
+"""Pallas TPU kernels for the depth-window point query and fused grouping.
+
+Replaces the XLA ``top_k`` + gather formulation on TPU. Reference semantics
+(`/root/reference/ops/query_depth_point/query_depth_point_cuda_kernel.cu:42-64`
+and the gather + center-subtract consumer `models/det_base.py:74-93`): per
+section center, scan points in storage order, keep the first ``nsample`` with
+``|z_p - z_q| < dis_z``; pad unused slots with the first hit; emit the capped
+match count; gather the selected points' channels and subtract the section
+center from xyz.
+
+Why a kernel: profiling (BENCH_NOTES.md) shows selection + gather dominate
+the whole model — XLA's per-section ``top_k`` costs ~3 ms/scale/batch and the
+(B, M, K, C) gather another ~5 ms/batch. The TPU formulation, per
+(batch row, section tile), entirely in VMEM:
+
+  1. ``mask[m, n]`` — depth-window compare (VPU, (MT, Np) in one tile),
+  2. ``S[m, n]`` — inclusive running match count along n, via log2(Np)
+     masked lane-rolls (Hillis-Steele scan),
+  3. slot k's index = first n with ``S[m, n] == k + 1`` — binary lifting
+     over the monotone S row. Probes use ``tpu.dynamic_gather``, which only
+     shuffles within one 128-lane tile, so a probe is a composite gather:
+     static loop over the Np/128 tiles, within-tile gather by ``probe %
+     128``, one-hot select by ``probe // 128``.
+  4. (fused variant) the same composite gather pulls each channel's value at
+     the selected indices and subtracts the section center from xyz.
+
+No sort, no searchsorted, no ordering assumption on the section ladder —
+padded refine ladders (duplicated tail sections) are handled exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _gather_lanes(src, pos, n_tiles):
+    """src (MT, Np) gathered at per-lane positions pos (MT, L), Np = 128*T."""
+    tile_of = pos // _LANES
+    local = pos - tile_of * _LANES
+    out = None
+    for t in range(n_tiles):
+        got = jnp.take_along_axis(src[:, t * _LANES:(t + 1) * _LANES], local,
+                                  axis=1)
+        out = got if out is None else jnp.where(tile_of == t, got, out)
+    return out
+
+
+def _select_core(zp, zr, dis_z, nsample, n_pow2):
+    """Shared kernel body: (idx, cnt) for one (MT,) tile of sections.
+
+    zp (1, Np) f32 (padded +inf); zr (MT, 1) f32 (padded -inf).
+    """
+    mt = zr.shape[0]
+    n_tiles = n_pow2 // _LANES
+
+    # depth-window hit mask (strict <, matching the CUDA kernel); padded
+    # points are +inf and padded sections -inf, so neither ever matches
+    mask = jnp.abs(zp - zr) < dis_z  # (MT, Np)
+    mi = mask.astype(jnp.int32)
+
+    # inclusive running match count along n: Hillis-Steele scan over lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (mt, n_pow2), 1)
+    s = mi
+    shift = 1
+    while shift < n_pow2:
+        rolled = pltpu.roll(s, shift, axis=1)
+        s = s + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+
+    cnt = jnp.minimum(s[:, n_pow2 - 1], nsample)  # (MT,)
+
+    # binary lifting: slot k resolves to the first n with S[n] >= k + 1
+    # (S increments exactly at matches, so that n IS the (k+1)-th match);
+    # slots run in 128-wide chunks
+    idx_parts = []
+    for kc in range(0, nsample, _LANES):
+        slot = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1) + kc
+        target = slot + 1  # slot k targets the (k+1)-th match
+        pos = jnp.zeros((mt, _LANES), jnp.int32)
+        step = n_pow2
+        while step > 1:
+            step //= 2
+            # last index of the candidate half, < Np
+            val = _gather_lanes(s, pos + step - 1, n_tiles)
+            pos = jnp.where(val < target, pos + step, pos)
+        idx_parts.append(pos)
+
+    pos = jnp.concatenate(idx_parts, axis=1) if len(idx_parts) > 1 else idx_parts[0]
+    # slots beyond cnt repeat the first hit; no hit at all selects index 0
+    slot = jax.lax.broadcasted_iota(jnp.int32, (mt, pos.shape[1]), 1)
+    first = jnp.where(cnt[:, None] > 0, pos[:, 0:1], 0)
+    idx = jnp.where(slot < cnt[:, None], pos, first)
+    # idx is lane-padded to a 128 multiple: slots >= nsample are first-hit
+    # fills, safe to gather from and sliced off by the caller
+    return idx, cnt
+
+
+def _select_kernel(zp_ref, zr_ref, idx_ref, cnt_ref, *, dis_z, nsample, n_pow2):
+    idx, cnt = _select_core(zp_ref[0], zr_ref[0], dis_z, nsample, n_pow2)
+    idx_ref[0] = idx[:, :nsample]
+    cnt_ref[0] = cnt[:, None]
+
+
+def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
+    """Fused select + gather + center-subtract.
+
+    refs: C channel inputs (1, 1, Np) f32 each (xyz first, z = channel 2,
+    z carrying the +inf padding), 3 section-center coordinate inputs
+    (1, MT, 1) f32 each (x, y, z — z doubles as the query depth); outputs
+    grouped (1, MT, C*Kpad) f32 channel-major segments (slot lanes padded to
+    a 128 multiple, sliced off by the caller), cnt (1, MT, 1) i32.
+    """
+    chan_refs = refs[:n_channels]
+    rx_ref, ry_ref, rz_ref = refs[n_channels:n_channels + 3]
+    grouped_ref, cnt_ref, row_scratch = refs[n_channels + 3:]
+    idx, cnt = _select_core(chan_refs[2][0], rz_ref[0], dis_z, nsample, n_pow2)
+    cnt_ref[0] = cnt[:, None]
+
+    mt = idx.shape[0]
+    n_tiles = n_pow2 // _LANES
+    zeros = jnp.zeros((mt, n_pow2), jnp.float32)
+    center = (rx_ref[0], ry_ref[0], rz_ref[0])  # (MT, 1) each
+    parts = []
+    for c in range(n_channels):
+        # round-trip the broadcast row through VMEM scratch: Mosaic's
+        # dynamic_gather / lane-slice crash on replicated-layout operands
+        row_scratch[:] = zeros + chan_refs[c][0]
+        g = _gather_lanes(row_scratch[:], idx, n_tiles)  # (MT, Kpad)
+        if c < 3:
+            g = g - center[c]  # center-subtract xyz
+        parts.append(g)
+    grouped_ref[0] = jnp.concatenate(parts, axis=1)  # (MT, C*Kpad)
+
+
+def _pad_inputs(z_points, z_ref, mt):
+    b, n = z_points.shape
+    m = z_ref.shape[1]
+    n_pow2 = max(_LANES, 1 << (n - 1).bit_length())
+    m_pad = -m % mt
+    big = jnp.float32(np.finfo(np.float32).max)
+    zp = jnp.pad(z_points.astype(jnp.float32), ((0, 0), (0, n_pow2 - n)),
+                 constant_values=big)
+    zr = jnp.pad(z_ref.astype(jnp.float32), ((0, 0), (0, m_pad)),
+                 constant_values=-big)
+    return zp, zr, n_pow2, m_pad
+
+
+def query_depth_point_pallas(z_points: jnp.ndarray, z_ref: jnp.ndarray,
+                             dis_z: float, nsample: int,
+                             interpret: bool = False,
+                             m_tile: int = 128):
+    """Drop-in TPU-kernel equivalent of ``query_depth_point`` (idx, cnt).
+
+    z_points (B, N) f32; z_ref (B, M) f32 in ANY order (no sorted-ladder
+    assumption). Returns idx (B, M, K) i32, cnt (B, M) i32, bit-identical to
+    the CUDA-scan oracle.
+    """
+    b, n = z_points.shape
+    m = z_ref.shape[1]
+    mt = m_tile
+    zp, zr, n_pow2, m_pad = _pad_inputs(z_points, z_ref, mt)
+    m_tiles = (m + m_pad) // mt
+    zp3 = zp.reshape(b, 1, n_pow2)
+    zr3 = zr.reshape(b * m_tiles, mt, 1)
+
+    kernel = functools.partial(_select_kernel, dis_z=float(dis_z),
+                               nsample=nsample, n_pow2=n_pow2)
+    idx, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, m_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pow2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, 1), lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, mt, nsample),
+                         lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, 1), lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * m_tiles, mt, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b * m_tiles, mt, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(zp3, zr3)
+    idx = idx.reshape(b, m + m_pad, nsample)[:, :m]
+    cnt = cnt.reshape(b, m + m_pad)[:, :m]
+    return idx, cnt
+
+
+def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
+                             dis_z: float, nsample: int,
+                             interpret: bool = False,
+                             m_tile: int = 128):
+    """Fused select + gather + center-subtract (the model's grouping stage).
+
+    points (B, N, C) f32 with xyz in channels 0:3; ref (B, M, 3) f32 section
+    centers in any order. Returns grouped (B, M, K, C) f32 — channels 0:3 are
+    xyz minus the section center, exactly ``group_points(points, ref,
+    query_depth_point(...))`` — and cnt (B, M) i32.
+    """
+    b, n, c = points.shape
+    m = ref.shape[1]
+    mt = m_tile
+    zp, zr, n_pow2, m_pad = _pad_inputs(points[..., 2], ref[..., 2], mt)
+    m_tiles = (m + m_pad) // mt
+
+    # one (B, 1, Np) input per channel; channel 2 carries the +inf z padding
+    chans = []
+    for ci in range(c):
+        if ci == 2:
+            chans.append(zp.reshape(b, 1, n_pow2))
+        else:
+            chans.append(jnp.pad(points[..., ci], ((0, 0), (0, n_pow2 - n)))
+                         .reshape(b, 1, n_pow2))
+    # section centers as three (B*m_tiles, MT, 1) coordinate planes; the z
+    # plane is `zr` (it carries the -inf padding and doubles as the query)
+    ref_pad = jnp.pad(ref.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)))
+    coords = [ref_pad[..., 0].reshape(b * m_tiles, mt, 1),
+              ref_pad[..., 1].reshape(b * m_tiles, mt, 1),
+              zr.reshape(b * m_tiles, mt, 1)]
+
+    k_pad = -nsample % _LANES + nsample
+    kernel = functools.partial(_group_kernel, dis_z=float(dis_z),
+                               nsample=nsample, n_pow2=n_pow2, n_channels=c)
+    tile_spec = pl.BlockSpec((1, mt, 1),
+                             lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grouped, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, m_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pow2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(c)
+        ] + [tile_spec] * 3,
+        out_specs=(
+            pl.BlockSpec((1, mt, c * k_pad),
+                         lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * m_tiles, mt, c * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * m_tiles, mt, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((mt, n_pow2), jnp.float32)],
+        interpret=interpret,
+    )(*chans, *coords)
+    # channel-major padded segments -> (B, M, K, C)
+    grouped = grouped.reshape(b, m + m_pad, c, k_pad)[:, :m, :, :nsample]
+    grouped = jnp.transpose(grouped, (0, 1, 3, 2))
+    cnt = cnt.reshape(b, m + m_pad)[:, :m]
+    return grouped, cnt
+
+
+def group_depth_point_auto(points: jnp.ndarray, ref: jnp.ndarray,
+                           dis_z: float, nsample: int):
+    """Backend dispatch: the fused Pallas kernel on TPU, XLA elsewhere.
+
+    Both paths are bit-identical (the XLA path is select + gather +
+    center-subtract with the same semantics), so tests running on the
+    virtual CPU mesh exercise what the TPU kernel computes.
+    """
+    if jax.default_backend() == "tpu":
+        return group_depth_point_pallas(points, ref, dis_z, nsample)
+    from frustum_convnet_tpu.ops.query_depth_point import (group_points,
+                                                           query_depth_point)
+
+    idx, cnt = query_depth_point(points[..., 2], ref[..., 2], dis_z, nsample)
+    return group_points(points, ref, idx), cnt
