@@ -146,6 +146,105 @@ def extract_frustum_data(idx_filename, split, output_filename, data_root,
     return n
 
 
+def extract_frustum_det_data(idx_filename, split, output_filename, data_root,
+                             det_filename, perturb_box2d=False, augmentX=1,
+                             type_whitelist=("Car",), seed=3):
+    """Train-on-detections pickle: 2D dets assigned to GT by IoU (ref :102-257).
+
+    Each external 2D detection whose best GT 2D-IoU clears the threshold
+    (0.5 when 'Car' is in the whitelist, else 0.25) yields frustums cut from
+    the (optionally jittered) DETECTION box, labeled by the ASSIGNED GT's 3D
+    box; 'box2d' stores the det box, 'gt_box2d' the GT's. Same 11-stream
+    schema as ``extract_frustum_data``, so the provider can append it via
+    ``DATA.EXTEND_FROM_DET`` (`datasets/provider_sample.py:110-126`).
+    """
+    from frustum_convnet_tpu.core.box_overlaps import bbox_overlaps_2d
+
+    dataset = KittiObjectDataset(data_root, split)
+    rng = np.random.default_rng(seed)
+    data_idx_list = [int(line.rstrip()) for line in open(idx_filename)]
+
+    det_ids, det_types, det_boxes, det_probs = read_det_file(det_filename)
+    dets_by_id: dict = {}
+    for i, det_idx in enumerate(det_ids):
+        dets_by_id.setdefault(det_idx, []).append(
+            {"type": det_types[i], "box2d": det_boxes[i], "prob": det_probs[i]})
+
+    out = {k: [] for k in pickle_io.KITTI_LABELED_FIELDS}
+    pos_cnt = all_cnt = 0
+    thresh = 0.5 if "Car" in type_whitelist else 0.25
+    for data_idx in data_idx_list:
+        calib = dataset.get_calibration(data_idx)
+        gt_objects = [o for o in dataset.get_label_objects(data_idx)
+                      if o.type in type_whitelist]
+        det_objects = dets_by_id.get(data_idx)
+        if not gt_objects or det_objects is None:
+            continue
+        gt_boxes_2d = np.stack([np.asarray(o.box2d, np.float64)
+                                for o in gt_objects])
+
+        pc_velo = dataset.get_lidar(data_idx)
+        pc_rect = np.zeros_like(pc_velo)
+        pc_rect[:, :3] = calib.velo_to_rect(pc_velo[:, :3])
+        pc_rect[:, 3] = pc_velo[:, 3]
+        img_h, img_w = dataset.get_image_size(data_idx)
+        fov_mask, pts_2d = lidar_in_image_fov_mask(pc_velo, calib, img_h, img_w)
+
+        for det in det_objects:
+            if det["type"] not in type_whitelist:
+                continue
+            overlap = bbox_overlaps_2d(
+                np.asarray(det["box2d"], np.float64).reshape(-1, 4), gt_boxes_2d)[0]
+            if overlap.max(0) < thresh:
+                continue
+            obj = gt_objects[int(overlap.argmax(0))]
+
+            for _ in range(augmentX):
+                if perturb_box2d:
+                    xmin, ymin, xmax, ymax = random_shift_box2d(
+                        det["box2d"], img_h, img_w, 0.1, rng)
+                else:
+                    xmin, ymin, xmax, ymax = det["box2d"]
+                in_box = (
+                    (pts_2d[:, 0] >= xmin) & (pts_2d[:, 0] < xmax)
+                    & (pts_2d[:, 1] >= ymin) & (pts_2d[:, 1] < ymax)
+                    & fov_mask
+                )
+                pc_in_box = pc_rect[in_box, :]
+
+                corners = kitti_object_corners(obj)
+                label = gnp.points_in_box3d_corners(
+                    pc_in_box[:, :3], corners).astype(np.float64)
+
+                # reject by the ASSIGNED GT's box height / empty fg (ref :221)
+                if (obj.box2d[3] - obj.box2d[1]) < 25 or label.sum() == 0:
+                    continue
+
+                out["id"].append(data_idx)
+                out["box2d"].append(np.array([xmin, ymin, xmax, ymax]))
+                out["box3d"].append(corners)
+                out["points"].append(pc_in_box.astype(np.float32, copy=False))
+                out["seg"].append(label)
+                out["type"].append(obj.type)
+                out["heading"].append(obj.ry)
+                out["size"].append(np.array([obj.l, obj.w, obj.h]))
+                out["frustum_angle"].append(
+                    frustum_angle_from_box((xmin, ymin, xmax, ymax), calib))
+                out["gt_box2d"].append(obj.box2d)
+                out["calib"].append(calib.as_dict())
+                pos_cnt += label.sum()
+                all_cnt += pc_in_box.shape[0]
+
+    n = len(out["id"])
+    print(f"total_objects {n}")
+    if n:
+        print(f"Average pos ratio: {pos_cnt / max(all_cnt, 1):.4f}")
+        print(f"Average npoints: {all_cnt / n:.1f}")
+    pickle_io.write_stream_pickle(output_filename, out, pickle_io.KITTI_LABELED_FIELDS)
+    print(f"saved {output_filename}")
+    return n
+
+
 def read_det_file(det_filename):
     """Parse ``img_path typeid prob x1 y1 x2 y2`` detection lines (ref :428-446)."""
     det_id2str = {1: "Pedestrian", 2: "Car", 3: "Cyclist"}
@@ -233,6 +332,15 @@ def main(argv=None):
     p.add_argument("--gen_train", action="store_true")
     p.add_argument("--gen_val", action="store_true")
     p.add_argument("--gen_val_rgb_detection", action="store_true")
+    p.add_argument("--gen_trainval", action="store_true",
+                   help="trainval split with perturbed GT boxes")
+    p.add_argument("--gen_test_rgb_detection", action="store_true",
+                   help="test split from RGB detections")
+    p.add_argument("--gen_train_det", action="store_true",
+                   help="train-on-detections pickle (<prefix>_train_det.pickle,"
+                        " consumed via DATA.EXTEND_FROM_DET)")
+    p.add_argument("--gen_avg_dim", action="store_true",
+                   help="print per-class mean (l, w, h) size templates")
     p.add_argument("--car_only", action="store_true")
     p.add_argument("--people_only", action="store_true")
     p.add_argument("--data_root", default="data/kitti")
@@ -266,12 +374,35 @@ def main(argv=None):
             os.path.join(args.save_dir, f"{prefix}_val.pickle"),
             args.data_root, perturb_box2d=False, augmentX=1,
             type_whitelist=whitelist)
+    if args.gen_trainval:
+        extract_frustum_data(
+            os.path.join(sets_dir, "trainval.txt"), "training",
+            os.path.join(args.save_dir, f"{prefix}_trainval.pickle"),
+            args.data_root, perturb_box2d=True, augmentX=5,
+            type_whitelist=whitelist)
     if args.gen_val_rgb_detection:
         det_dir = args.rgb_det_dir or os.path.join("kitti", "rgb_detections")
         extract_frustum_data_rgb_detection(
             os.path.join(det_dir, "rgb_detection_val.txt"), "training",
             os.path.join(args.save_dir, f"{prefix}_val_rgb_detection.pickle"),
             args.data_root, type_whitelist=whitelist)
+    if args.gen_test_rgb_detection:
+        det_dir = args.rgb_det_dir or os.path.join("kitti", "rgb_detections")
+        extract_frustum_data_rgb_detection(
+            os.path.join(det_dir, "rgb_detection_test.txt"), "testing",
+            os.path.join(args.save_dir, f"{prefix}_test_rgb_detection.pickle"),
+            args.data_root, type_whitelist=whitelist)
+    if args.gen_train_det:
+        det_dir = args.rgb_det_dir or os.path.join("kitti", "rgb_detections")
+        extract_frustum_det_data(
+            os.path.join(sets_dir, "train.txt"), "training",
+            os.path.join(args.save_dir, f"{prefix}_train_det.pickle"),
+            args.data_root,
+            os.path.join(det_dir, "rgb_detection_train.txt"),
+            perturb_box2d=True, augmentX=5, type_whitelist=whitelist)
+    if args.gen_avg_dim:
+        get_box3d_dim_statistics(os.path.join(sets_dir, "train.txt"),
+                                 args.data_root)
 
 
 if __name__ == "__main__":

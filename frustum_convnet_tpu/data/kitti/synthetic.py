@@ -90,9 +90,13 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
                 f"Car 0.00 0 {alpha:.2f} {xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f} "
                 f"{h:.2f} {w:.2f} {l:.2f} {t[0]:.2f} {t[1]:.2f} {t[2]:.2f} {ry:.2f}"
             )
+            # mimic an external 2D detector: jitter the GT box a little
+            jw, jh = (xmax - xmin) * 0.05, (ymax - ymin) * 0.05
+            dx1, dy1, dx2, dy2 = rng.uniform(-1, 1, 4) * [jw, jh, jw, jh]
             det_lines.append(
                 f"training/image_2/{idx:06d}.png 2 {rng.uniform(0.7, 0.99):.3f} "
-                f"{xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f}"
+                f"{max(0, xmin + dx1):.2f} {max(0, ymin + dy1):.2f} "
+                f"{min(IMG_W - 1, xmax + dx2):.2f} {min(IMG_H - 1, ymax + dy2):.2f}"
             )
 
         # background: road plane + clutter, in rect frame
@@ -122,5 +126,12 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
     with open(os.path.join(root, "image_sets", "val.txt"), "w") as f:
         f.write("\n".join(ids[half:]) + "\n")
     os.makedirs(os.path.join(root, "rgb_detections"), exist_ok=True)
+    train_ids = set(range(half))
+    train_lines = [ln for ln in det_lines
+                   if int(os.path.basename(ln.split(" ")[0])[:6]) in train_ids]
+    val_lines = [ln for ln in det_lines
+                 if int(os.path.basename(ln.split(" ")[0])[:6]) not in train_ids]
+    with open(os.path.join(root, "rgb_detections", "rgb_detection_train.txt"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
     with open(os.path.join(root, "rgb_detections", "rgb_detection_val.txt"), "w") as f:
-        f.write("\n".join(det_lines) + "\n")
+        f.write("\n".join(val_lines) + "\n")

@@ -71,7 +71,10 @@ class FrustumProvider:
                   else pickle_io.KITTI_LABELED_FIELDS)
         self.data = pickle_io.read_stream_pickle(path, fields)
         if extend_from_det and not from_rgb_detection:
-            ext = path.replace(".", "_det.", 1)
+            # split on the extension (a DATA_ROOT containing '.' must not
+            # corrupt the path; ref `provider_sample.py:110-126`)
+            root, ext_suffix = os.path.splitext(path)
+            ext = f"{root}_det{ext_suffix}"
             extra = pickle_io.read_stream_pickle(ext, fields)
             for k in fields:
                 self.data[k] = list(self.data[k]) + list(extra[k])
@@ -204,6 +207,42 @@ def from_prediction_to_label_format(center, angle, size, rot_angle, ref_center=N
         tx, ty, tz = tx + ref_center[0], ty + ref_center[1], tz + ref_center[2]
     ty += h / 2.0
     return h, w, l, tx, ty, tz, ry
+
+
+def from_prediction_to_label_format_batch(centers, angles, sizes, rot_angles,
+                                          ref_centers=None):
+    """Vectorized decode of D boxes to KITTI label values (ref :375-387).
+
+    centers (D, 3), angles (D,), sizes (D, 3 lwh), rot_angles (D,),
+    ref_centers (D, 3) or None. Returns (D, 7) = [h, w, l, tx, ty, tz, ry];
+    ty is shifted to the box bottom. Matches the scalar
+    ``from_prediction_to_label_format`` per row.
+    """
+    centers = np.asarray(centers, dtype=np.float64)
+    sizes = np.asarray(sizes, dtype=np.float64)
+    angles = np.asarray(angles, dtype=np.float64)
+    rot_angles = np.asarray(rot_angles, dtype=np.float64)
+    d = len(centers)
+
+    ry = angles + rot_angles
+    # de-rotate each center by its own -rot_angle about the y axis
+    # (x' = cos*x - sin*z ; z' = sin*x + cos*z, the reference convention)
+    cos, sin = np.cos(-rot_angles), np.sin(-rot_angles)
+    tx = cos * centers[:, 0] - sin * centers[:, 2]
+    tz = sin * centers[:, 0] + cos * centers[:, 2]
+    ty = centers[:, 1].copy()
+    if ref_centers is not None:
+        ref_centers = np.asarray(ref_centers, dtype=np.float64)
+        tx, ty, tz = tx + ref_centers[:, 0], ty + ref_centers[:, 1], tz + ref_centers[:, 2]
+    out = np.empty((d, 7), dtype=np.float64)
+    out[:, 0] = sizes[:, 2]  # h
+    out[:, 1] = sizes[:, 1]  # w
+    out[:, 2] = sizes[:, 0]  # l
+    out[:, 3] = tx
+    out[:, 4] = ty + sizes[:, 2] / 2.0
+    out[:, 5] = tz
+    out[:, 6] = ry
+    return out
 
 
 compute_alpha = gnp.compute_alpha

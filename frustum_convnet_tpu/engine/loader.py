@@ -7,10 +7,12 @@ with a TPU-appropriate design:
 * deterministic per-epoch shuffling from a seeded generator (seed 3 + epoch);
 * every host reads only its ``jax.process_index()`` shard of each global
   batch (multi-host data parallelism needs no other change);
-* a background thread assembles the next batches while the device computes
-  (the analogue of dataloader workers — collation here is cheap numpy
-  stacking, so one thread suffices and avoids fork overhead);
-* static shapes: ``drop_last`` always on for training.
+* background threads assemble the next batches while the device computes
+  (the analogue of dataloader workers — numpy item prep releases the GIL
+  enough for a few threads to scale, and avoids fork overhead); batch order
+  is deterministic and independent of the worker count (per-batch seeded
+  rng, round-robin queue consumption);
+* static shapes: ``drop_last`` for training, ``pad_last`` for inference.
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, num_scales: int,
                  shuffle: bool = False, drop_last: bool = False, seed: int = 3,
                  augment_rng: bool = True, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 pad_last: bool = False, num_workers: int = 1):
         self.dataset = dataset
         self.global_batch = batch_size
         assert batch_size % process_count == 0, (batch_size, process_count)
@@ -41,6 +44,14 @@ class BatchLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        # pad_last: repeat the final item so every batch has the compiled
+        # static shape; batches then carry '_indices' (dataset indices incl.
+        # pads) and '_real' (valid count) for the consumer to trim
+        self.pad_last = pad_last
+        # num_workers > 1: round-robin batch assembly across threads (numpy
+        # releases the GIL often enough for this to scale to a few threads);
+        # batch order is preserved by consuming the per-worker queues in turn
+        self.num_workers = max(1, num_workers)
 
     def __len__(self):
         n = len(self.dataset)
@@ -55,25 +66,46 @@ class BatchLoader:
         order = order_rng.permutation(n) if self.shuffle else np.arange(n)
 
         num_batches = len(self)
-        q: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=self.prefetch)
+        nw = self.num_workers
+        queues: list["queue.Queue[Optional[dict]]"] = [
+            queue.Queue(maxsize=max(1, self.prefetch)) for _ in range(nw)
+        ]
 
-        def worker():
-            item_rng = np.random.default_rng((self.seed, epoch, self.process_index))
+        def make_batch(b: int, item_rng) -> dict:
+            sel = order[b * self.global_batch:(b + 1) * self.global_batch]
+            # this host's contiguous sub-shard of the global batch
+            lo = self.process_index * self.local_batch
+            sel = sel[lo:lo + self.local_batch]
+            real = len(sel)
+            if self.pad_last and real < self.local_batch:
+                sel = np.concatenate(
+                    [sel, np.full(self.local_batch - real, sel[-1])])
+            items = [self.dataset.__getitem__(int(i), item_rng) for i in sel]
+            batch = collate_batch(items, self.num_scales)
+            if self.pad_last:
+                batch["_indices"] = np.asarray(sel)
+                batch["_real"] = real
+            return batch
+
+        def worker(w: int):
+            # per-batch rng keyed by batch index keeps augmentation draws
+            # independent of the worker count
             try:
-                for b in range(num_batches):
-                    sel = order[b * self.global_batch:(b + 1) * self.global_batch]
-                    # this host's contiguous sub-shard of the global batch
-                    lo = self.process_index * self.local_batch
-                    sel = sel[lo:lo + self.local_batch]
-                    items = [self.dataset.__getitem__(int(i), item_rng) for i in sel]
-                    q.put(collate_batch(items, self.num_scales))
+                for b in range(w, num_batches, nw):
+                    item_rng = np.random.default_rng(
+                        (self.seed, epoch, self.process_index, b))
+                    queues[w].put(make_batch(b, item_rng))
             finally:
-                q.put(None)
+                queues[w].put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(nw)]
+        for t in threads:
+            t.start()
+        # worker w produces batches w, w+nw, ... in order, so consuming the
+        # queues round-robin reconstructs global batch order exactly
+        for b in range(num_batches):
+            batch = queues[b % nw].get()
+            if batch is None:  # worker died before finishing its share
+                raise RuntimeError("BatchLoader worker failed")
             yield batch

@@ -26,7 +26,7 @@ import numpy as np
 
 from frustum_convnet_tpu.configs import (assert_and_infer_cfg, cfg,
                                          merge_cfg_from_file, merge_cfg_from_list)
-from frustum_convnet_tpu.data.provider import from_prediction_to_label_format
+from frustum_convnet_tpu.data.provider import from_prediction_to_label_format_batch
 from frustum_convnet_tpu.data.registry import get_provider_class
 from frustum_convnet_tpu.engine import checkpoints as ckpt
 from frustum_convnet_tpu.evaluation.kitti_writer import write_detection_results
@@ -36,7 +36,6 @@ from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState
                                                      init_state, make_optimizer)
 from frustum_convnet_tpu.models.det import decode_outputs
 from frustum_convnet_tpu.utils.logger import get_logger
-from frustum_convnet_tpu.utils.metrics import AverageMeter
 
 
 def build_infer_fn(model, spec):
@@ -50,74 +49,260 @@ def build_infer_fn(model, spec):
     return infer
 
 
-def select_foreground(cls_probs_b: np.ndarray, method: str) -> np.ndarray:
-    """Per-frustum section selection (ref test_net_det.py:254-263)."""
-    if method == "nms":
-        fg = np.nonzero(cls_probs_b[:, 0] < cls_probs_b[:, 1])[0]
-        if fg.size == 0:
-            fg = np.array([np.argmax(cls_probs_b[:, 1])])
-        return fg
-    return np.array([np.argmax(cls_probs_b[:, 1])])
+def build_infer_group_fn(model, spec, method: str, cap: int):
+    """G stacked batches -> one dispatch, with on-device fg compaction.
+
+    Per-dispatch latency and device->host bytes dominate a naive per-batch
+    loop (BENCH_NOTES.md), so the driver scans over a group of G batches in
+    one jitted call and returns, per frustum, only the selected sections
+    packed as (B, S, 8) = [cx, cy, cz, heading, l, w, h, fg_prob] plus the
+    uncapped fg count — ~7x fewer bytes than the full decode. Selection
+    matches `select_foreground_batch`: 'nms' keeps every fg section
+    (first-S in section order; the host re-runs the rare frustum whose fg
+    count exceeds S through the full path, so semantics stay exact),
+    'top' keeps the argmax section.
+    """
+    sel_top = method != "nms"
+
+    @jax.jit
+    def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
+        def one(carry, xs):
+            pts, one_hot, refs = xs
+            cls_logits, reg = model.apply(
+                {"params": state_params, "batch_stats": state_stats},
+                pts, one_hot, list(refs), train=False)
+            out = decode_outputs(spec, cls_logits, reg, refs[1])
+            probs = out["cls_probs"]  # (B, L, 2)
+            b, length = probs.shape[:2]
+            top = jnp.argmax(probs[:, :, 1], axis=1)  # (B,)
+            if sel_top:
+                sel = top[:, None]  # (B, 1)
+                cnt = jnp.ones((b,), jnp.int32)
+            else:
+                fg = probs[:, :, 1] > probs[:, :, 0]
+                none = ~jnp.any(fg, axis=1)
+                ar = jnp.arange(length, dtype=jnp.int32)
+                fg = fg | (none[:, None] & (ar[None, :] == top[:, None]))
+                key = jnp.where(fg, ar, ar + length)
+                neg, _ = jax.lax.top_k(-key, cap)
+                sel_all = jnp.minimum(-neg, length - 1)  # first-cap fg sections
+                cnt = jnp.sum(fg, axis=1).astype(jnp.int32)
+                slot = jnp.arange(cap, dtype=jnp.int32)
+                sel = jnp.where(slot[None, :] < cnt[:, None], sel_all, 0)
+
+            def take(x):
+                return jnp.take_along_axis(x, sel[..., None] if x.ndim == 3
+                                           else sel, axis=1)
+
+            packed = jnp.concatenate([
+                take(out["centers"]),                       # 3
+                take(out["headings"])[..., None],           # 1
+                take(out["sizes"]),                         # 3
+                take(probs[:, :, 1])[..., None],            # 1
+            ], axis=-1)  # (B, S, 8)
+            return carry, (packed, cnt)
+
+        _, (packed, cnt) = jax.lax.scan(
+            one, 0, (pts_g, one_hot_g, refs_g))
+        return packed, cnt
+
+    return infer_group
+
+
+def select_foreground_batch(cls_probs: np.ndarray, real: int, method: str):
+    """Vectorized per-frustum section selection (ref test_net_det.py:254-263).
+
+    cls_probs (B, L, 2). Returns (det_b, det_m) index arrays over the first
+    ``real`` frustums: 'nms' keeps every section with fg > bg (argmax
+    fallback per frustum), 'top' keeps the per-frustum argmax.
+    """
+    probs = cls_probs[:real]
+    top = np.argmax(probs[:, :, 1], axis=1)  # (real,)
+    if method != "nms":
+        return np.arange(real), top
+    fg = probs[:, :, 0] < probs[:, :, 1]  # (real, L)
+    none = ~fg.any(axis=1)
+    if none.any():
+        fg[np.nonzero(none)[0], top[none]] = True
+    return np.nonzero(fg)
+
+
+def postprocess_batch(out: dict, batch: dict, dataset, method: str,
+                      det_results: dict) -> int:
+    """Decode one device batch into KITTI-frame detections (all-numpy).
+
+    The per-detection math (de-rotate, ty shift) runs vectorized over every
+    selected section of the batch (`from_prediction_to_label_format_batch`);
+    python touches each detection only for the dict append. Returns the
+    number of accumulated detections.
+    """
+    real = int(batch["_real"])
+    idxs = batch["_indices"][:real]
+    cls_probs = out["cls_probs"]
+    det_b, det_m = select_foreground_batch(cls_probs, real, method)
+    if det_b.size == 0:
+        return 0
+
+    rgb_probs = np.asarray(
+        batch.get("rgb_prob", np.ones(len(cls_probs), np.float32))).reshape(-1)
+    rot_angles = np.asarray(batch["rot_angle"]).reshape(-1)
+    ref_centers = batch.get("ref_center")
+
+    boxes = from_prediction_to_label_format_batch(
+        out["centers"][det_b, det_m],
+        out["headings"][det_b, det_m],
+        out["sizes"][det_b, det_m],
+        rot_angles[det_b],
+        None if ref_centers is None else np.asarray(ref_centers)[det_b],
+    )  # (D, 7) = h w l tx ty tz ry
+    scores = cls_probs[det_b, det_m, 1] + rgb_probs[det_b]
+
+    # degenerate-size filter (ref test_net_det.py:276-281)
+    ok = (boxes[:, 0] >= 0.01) & (boxes[:, 1] >= 0.01) & (boxes[:, 2] >= 0.01)
+    det_b, boxes, scores = det_b[ok], boxes[ok], scores[ok]
+
+    ids = dataset.data["id"]
+    types = dataset.data["type"]
+    box2ds = dataset.data["box2d"]
+    for d in range(len(det_b)):
+        gi = int(idxs[det_b[d]])
+        b2 = box2ds[gi]
+        h, w, l, tx, ty, tz, ry = boxes[d]
+        det_results.setdefault(int(ids[gi]), {}).setdefault(types[gi], []).append(
+            [b2[0], b2[1], b2[2], b2[3], tx, ty, tz, h, w, l, ry, float(scores[d])])
+    return len(det_b)
+
+
+def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
+                       dataset, det_results: dict, cap: int) -> tuple[int, bool]:
+    """Decode one packed device batch into detections (all-numpy).
+
+    packed (B, S, 8) = [cx, cy, cz, heading, l, w, h, fg_prob]; cnt (B,)
+    uncapped fg counts. Returns (n_detections, overflowed) — overflowed
+    means some frustum had more fg sections than the device cap and the
+    caller must re-run this batch through the full path.
+    """
+    real = int(batch["_real"])
+    cnt = cnt[:real]
+    if (cnt > cap).any():
+        return 0, True
+    idxs = batch["_indices"][:real]
+    slot = np.arange(packed.shape[1])
+    det_b, det_s = np.nonzero(slot[None, :] < cnt[:, None])
+    if det_b.size == 0:
+        return 0, False
+
+    rows = packed[det_b, det_s]  # (D, 8)
+    rgb_probs = np.asarray(
+        batch.get("rgb_prob", np.ones(len(packed), np.float32))).reshape(-1)
+    rot_angles = np.asarray(batch["rot_angle"]).reshape(-1)
+    ref_centers = batch.get("ref_center")
+
+    boxes = from_prediction_to_label_format_batch(
+        rows[:, 0:3], rows[:, 3], rows[:, 4:7], rot_angles[det_b],
+        None if ref_centers is None else np.asarray(ref_centers)[det_b],
+    )  # (D, 7) = h w l tx ty tz ry
+    scores = rows[:, 7] + rgb_probs[det_b]
+
+    # degenerate-size filter (ref test_net_det.py:276-281)
+    ok = (boxes[:, 0] >= 0.01) & (boxes[:, 1] >= 0.01) & (boxes[:, 2] >= 0.01)
+    det_b, boxes, scores = det_b[ok], boxes[ok], scores[ok]
+
+    ids = dataset.data["id"]
+    types = dataset.data["type"]
+    box2ds = dataset.data["box2d"]
+    for d in range(len(det_b)):
+        gi = int(idxs[det_b[d]])
+        b2 = box2ds[gi]
+        h, w, l, tx, ty, tz, ry = boxes[d]
+        det_results.setdefault(int(ids[gi]), {}).setdefault(types[gi], []).append(
+            [b2[0], b2[1], b2[2], b2[3], tx, ty, tz, h, w, l, ry, float(scores[d])])
+    return len(det_b), False
 
 
 def run_test(model, spec, state, dataset, batch_size: int, method: str,
-             logger) -> dict:
-    """Stream the dataset through the jitted graph; accumulate detections."""
-    from frustum_convnet_tpu.data.provider import collate_batch
+             logger, num_workers: int = 4, group: int = 8,
+             fg_cap: int = 64) -> dict:
+    """Stream the dataset through the jitted graph; accumulate detections.
 
-    infer = build_infer_fn(model, spec)
-    n = len(dataset)
+    Pipelined four ways: BatchLoader worker threads prepare batches ahead;
+    G batches go to the device as ONE dispatch (`build_infer_group_fn` —
+    per-dispatch latency dominates on relayed TPU setups); only compacted
+    per-frustum selections come back (device->host bytes are the next
+    bottleneck); and the host post-processes group i while the device runs
+    group i+1. All per-detection math is vectorized numpy. End-to-end
+    streaming throughput is logged so the driver's frustums/sec is directly
+    comparable to bench.py.
+    """
+    from frustum_convnet_tpu.engine.loader import BatchLoader
+
+    infer_group = build_infer_group_fn(model, spec, method,
+                                       1 if method != "nms" else fg_cap)
+    infer_full = build_infer_fn(model, spec)  # rare overflow fallback
+    loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
+                         drop_last=False, pad_last=True, seed=0,
+                         num_workers=num_workers)
+    num_batches = len(loader)
+    num_groups = (num_batches + group - 1) // group
     det_results: dict = {}
-    fw_meter = AverageMeter()
-    rng = np.random.default_rng(0)
+    n_dets = 0
+    n_overflow = 0
+    cap = 1 if method != "nms" else fg_cap
 
-    num_batches = (n + batch_size - 1) // batch_size
-    for bi in range(num_batches):
-        idxs = list(range(bi * batch_size, min((bi + 1) * batch_size, n)))
-        real = len(idxs)
-        # pad the short final batch to the compiled shape
-        idxs_padded = idxs + [idxs[-1]] * (batch_size - real)
-        items = [dataset.__getitem__(i, rng) for i in idxs_padded]
-        batch = collate_batch(items, spec.num_scales)
+    def full_path(batch) -> int:
+        out = infer_full(state.params, state.batch_stats,
+                         jnp.asarray(batch["point_cloud"]),
+                         jnp.asarray(batch["one_hot"]),
+                         tuple(jnp.asarray(r) for r in batch["refs"]))
+        return postprocess_batch(jax.device_get(out), batch, dataset, method,
+                                 det_results)
 
-        t0 = time.time()
-        out = infer(state.params, state.batch_stats,
-                    jnp.asarray(batch["point_cloud"]),
-                    jnp.asarray(batch["one_hot"]),
-                    tuple(jnp.asarray(r) for r in batch["refs"]))
-        out = jax.device_get(out)
-        fw_meter.update(time.time() - t0)
+    def process_group(out_dev, batches) -> None:
+        nonlocal n_dets, n_overflow
+        packed_g, cnt_g = jax.device_get(out_dev)
+        for g, batch in enumerate(batches):
+            nd, overflow = postprocess_packed(packed_g[g], cnt_g[g], batch,
+                                              dataset, det_results, cap)
+            if overflow:  # > cap fg sections: exact semantics via full path
+                n_overflow += 1
+                nd = full_path(batch)
+            n_dets += nd
 
-        rgb_probs = batch.get("rgb_prob", np.ones(batch_size, np.float32)).reshape(-1)
-        rot_angles = batch["rot_angle"].reshape(-1)
-        ref_centers = batch.get("ref_center", np.zeros((batch_size, 3), np.float32))
+    t_start = time.time()
+    pending = None  # (device out, host batches)
+    batches: list = []
+    gi = 0
+    for batch in loader.epoch(0):
+        batches.append(batch)
+        if len(batches) < group:
+            continue
+        stack = [b for b in batches]
+        pts_g = np.stack([b["point_cloud"] for b in stack])
+        oh_g = np.stack([b["one_hot"] for b in stack])
+        refs_g = tuple(np.stack([b["refs"][i] for b in stack])
+                       for i in range(spec.num_scales))
+        out_dev = infer_group(state.params, state.batch_stats,
+                              jnp.asarray(pts_g), jnp.asarray(oh_g),
+                              tuple(jnp.asarray(r) for r in refs_g))
+        if pending is not None:
+            process_group(*pending)
+        pending = (out_dev, stack)
+        batches = []
+        gi += 1
+        if gi % 10 == 0:
+            rate = gi * group * batch_size / (time.time() - t_start)
+            logger.info(f"group {gi}/{num_groups}  {rate:.0f} frustums/s e2e")
+    if pending is not None:
+        process_group(*pending)
+    # final partial group: per-batch full path (one-off, off the hot loop)
+    for batch in batches:
+        n_dets += full_path(batch)
 
-        for k, gi in enumerate(idxs):  # trims padding (k < real)
-            cls_probs = out["cls_probs"][k]
-            fg_idx = select_foreground(cls_probs, method)
-            centers = out["centers"][k][fg_idx]
-            headings = out["headings"][k][fg_idx]
-            sizes = out["sizes"][k][fg_idx]
-            scores = cls_probs[fg_idx, 1] + rgb_probs[k]
-
-            data_idx = int(dataset.data["id"][gi])
-            class_type = dataset.data["type"][gi]
-            box2d = np.asarray(dataset.data["box2d"][gi])
-
-            per_img = det_results.setdefault(data_idx, {})
-            per_cls = per_img.setdefault(class_type, [])
-            for m in range(len(fg_idx)):
-                h, w, l, tx, ty, tz, ry = from_prediction_to_label_format(
-                    centers[m], headings[m], sizes[m], rot_angles[k], ref_centers[k])
-                if h < 0.01 or w < 0.01 or l < 0.01:
-                    continue
-                per_cls.append([box2d[0], box2d[1], box2d[2], box2d[3],
-                                tx, ty, tz, h, w, l, ry, float(scores[m])])
-        if (bi + 1) % 20 == 0:
-            logger.info(f"batch {bi + 1}/{num_batches} fwd {fw_meter.val:.3f}s")
-
-    logger.info(f"avg fwd: {fw_meter.avg:.4f}s/batch, "
-                f"{fw_meter.avg / batch_size * 1e3:.2f} ms/frustum")
+    elapsed = time.time() - t_start
+    n = len(dataset)
+    logger.info(f"streamed {n} frustums in {elapsed:.2f}s = "
+                f"{n / elapsed:.0f} frustums/s end-to-end "
+                f"({n_dets} detections, {n_overflow} overflow re-runs)")
     return det_results
 
 

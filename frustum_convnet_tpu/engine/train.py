@@ -33,12 +33,36 @@ from frustum_convnet_tpu.engine.loader import BatchLoader
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import get_model_spec
 from frustum_convnet_tpu.parallel.mesh import make_mesh, shard_batch
+from frustum_convnet_tpu.models import det
 from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState,
                                                      build_eval_step,
-                                                     build_train_step, init_state,
+                                                     build_train_step_accum,
+                                                     init_accum, init_state,
                                                      make_optimizer)
 from frustum_convnet_tpu.utils.logger import ScalarWriter, get_logger
 from frustum_convnet_tpu.utils.metrics import TrainingStates
+
+
+def save_cfg_snapshot(path: str, spec) -> None:
+    """Dump the resolved frozen cfg + model spec for reproducibility."""
+    import dataclasses
+
+    import yaml
+
+    def plain(o):
+        if isinstance(o, dict):
+            return {k: plain(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [plain(v) for v in o]
+        if isinstance(o, (np.integer, np.floating)):
+            return o.item()
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return o
+
+    payload = {"cfg": plain(dict(cfg)), "spec": plain(dataclasses.asdict(spec))}
+    with open(path, "w") as f:
+        yaml.safe_dump(payload, f, default_flow_style=None, sort_keys=True)
 
 BATCH_KEYS = ("point_cloud", "one_hot", "refs", "cls_label", "box3d_center",
               "box3d_heading", "box3d_size", "size_class")
@@ -52,32 +76,52 @@ def device_batch(batch_np: dict, mesh) -> dict:
     )
 
 
-def run_epoch_train(step, state, loader, epoch, logger, writer, disp):
-    states = TrainingStates()
-    t_data, t_step = time.time(), None
+def run_epoch_train(step, state, accum, loader, epoch, logger, writer, disp):
+    """One training epoch with on-device per-iteration stat accumulation.
+
+    Epoch averages cover EVERY step (reference semantics,
+    `train_net_det.py:134-154`) — the accumulator lives on device and is
+    fetched once at epoch end; only disp-interval logging syncs mid-epoch.
+    """
+    n_steps = 0
     for i, batch_np in enumerate(loader.epoch(epoch)):
         batch = device_batch(batch_np, step.mesh) if hasattr(step, "mesh") else batch_np
-        state, losses, metrics = step.fn(state, batch)
+        state, accum, losses, metrics = step.fn(state, accum, batch)
+        n_steps += 1
         if (i + 1) % disp == 0 or i == 0:
             vals = {k: float(v) for k, v in {**losses, **metrics}.items()}
-            states.update_states(vals, n=1)
-            logger.info(f"epoch {epoch} it {i + 1}/{len(loader)} "
-                        + states.format_states(avg=False))
-    jax.block_until_ready(state.step)
+            line = " ".join(f"{k} {v:.4f}" for k, v in vals.items())
+            logger.info(f"epoch {epoch} it {i + 1}/{len(loader)} {line}")
+    avg = {k: float(v) / max(n_steps, 1) for k, v in jax.device_get(accum).items()}
     if writer:
-        writer.scalars({f"train/{k}": v for k, v in states.get_states().items()}, epoch)
-    return state, states.get_states()
+        writer.scalars({f"train/{k}": v for k, v in avg.items()}, epoch)
+    return state, avg
 
 
-def run_epoch_eval(eval_fn, mesh, state, loader, epoch, logger, writer, iou_key):
+def run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, loader, epoch, logger,
+                   writer, iou_key):
+    """Validation epoch: batch-size-weighted averages over the FULL val set.
+
+    ``drop_last=False`` per the reference (`train_net_det.py:162-203,
+    279-286`): full batches run through the mesh-sharded graph; the short
+    tail batch (not divisible over the data axis) runs once per epoch
+    through an unsharded specialization, so no val item is dropped and no
+    padding biases the averages.
+    """
     states = TrainingStates()
-    n_batches = 0
     for batch_np in loader.epoch(epoch):
-        batch = device_batch(batch_np, mesh)
-        losses, metrics = eval_fn(state, batch)
+        bsz = len(batch_np["point_cloud"])
+        if bsz == loader.local_batch:
+            batch = device_batch(batch_np, mesh)
+            losses, metrics = eval_fn(state, batch)
+        else:
+            picked = {k: batch_np[k] for k in BATCH_KEYS if k in batch_np}
+            picked["refs"] = tuple(jnp.asarray(r) for r in picked["refs"])
+            batch = {k: (v if k == "refs" else jnp.asarray(v))
+                     for k, v in picked.items()}
+            losses, metrics = eval_fn_tail(state, batch)
         vals = {k: float(v) for k, v in {**losses, **metrics}.items()}
-        states.update_states(vals, n=1)
-        n_batches += 1
+        states.update_states(vals, n=bsz)
     result = states.get_states()
     logger.info(f"[val] epoch {epoch} " + states.format_states())
     if writer:
@@ -121,14 +165,21 @@ def main(argv=None):
     train_ds = provider_cls(cfg, cfg.TRAIN.DATASET, random_flip=True,
                             random_shift=True, one_hot=True,
                             extend_from_det=cfg.DATA.EXTEND_FROM_DET)
-    val_ds = provider_cls(cfg, cfg.TEST.DATASET, one_hot=True)
+    # the reference passes extend_from_det to the val dataset too
+    # (`train_net_det.py:270-277`)
+    val_ds = provider_cls(cfg, cfg.TEST.DATASET, one_hot=True,
+                          extend_from_det=cfg.DATA.EXTEND_FROM_DET)
     pc, pi = jax.process_count(), jax.process_index()
     train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, spec.num_scales,
                                shuffle=True, drop_last=True,
                                process_index=pi, process_count=pc,
-                               prefetch=cfg.TPU.PREFETCH)
+                               prefetch=cfg.TPU.PREFETCH,
+                               num_workers=cfg.NUM_WORKERS)
+    # drop_last=False: best-model selection sees the whole val set
+    # (ref `train_net_det.py:279-286`); multi-host keeps drop_last (a short
+    # global tail cannot be sharded evenly across processes)
     val_loader = BatchLoader(val_ds, cfg.TEST.BATCH_SIZE, spec.num_scales,
-                             shuffle=False, drop_last=True,
+                             shuffle=False, drop_last=pc > 1,
                              process_index=pi, process_count=pc)
     logger.info(f"train {len(train_ds)} frustums / {len(train_loader)} batches; "
                 f"val {len(val_ds)} frustums")
@@ -166,24 +217,35 @@ def main(argv=None):
             start_epoch, best_prec, best_epoch = 0, 0.0, 0
         logger.info(f"resumed from {path} at epoch {start_epoch}")
 
-    train_fn = build_train_step(model, spec, tx, step_cfg, mesh=mesh,
-                                donate=cfg.TPU.DONATE)
+    train_fn = build_train_step_accum(model, spec, tx, step_cfg, mesh=mesh,
+                                      donate=cfg.TPU.DONATE)
     eval_fn = build_eval_step(model, spec, step_cfg, mesh=mesh)
+    eval_fn_tail = build_eval_step(model, spec, step_cfg, mesh=None)
     iou_key = f"IoU_{cfg.IOU_THRESH}"
+    accum_keys = det.LOSS_KEYS + det.metric_keys(cfg.IOU_THRESH)
 
     writer = ScalarWriter(output_dir, "train") if cfg.USE_TFBOARD else None
 
+    # snapshot the resolved config next to the logs for reproducibility —
+    # the registry equivalent of the reference's source-file copy
+    # (`utils/utils.py:12-25`)
+    save_cfg_snapshot(os.path.join(output_dir, "config_snapshot.yaml"), spec)
+
     if cfg.EVAL_MODE:
-        run_epoch_eval(eval_fn, mesh, state, val_loader, 0, logger, writer, iou_key)
+        run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, val_loader, 0,
+                       logger, writer, iou_key)
         return
 
     step = _Step(train_fn, mesh)
     for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
         t0 = time.time()
-        state, _ = run_epoch_train(step, state, train_loader, epoch, logger,
-                                   writer, cfg.disp)
-        prec = run_epoch_eval(eval_fn, mesh, state, val_loader, epoch, logger,
-                              writer, iou_key)
+        accum = jax.device_put(init_accum(accum_keys),
+                               jax.sharding.NamedSharding(
+                                   mesh, jax.sharding.PartitionSpec()))
+        state, _ = run_epoch_train(step, state, accum, train_loader, epoch,
+                                   logger, writer, cfg.disp)
+        prec = run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, val_loader,
+                              epoch, logger, writer, iou_key)
         is_best = prec > best_prec
         if is_best:
             best_prec, best_epoch = prec, epoch + 1

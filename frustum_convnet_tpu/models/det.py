@@ -160,6 +160,15 @@ def compute_losses(
     return loss_dict, metrics
 
 
+LOSS_KEYS = ("total_loss", "cls_loss", "center_loss", "head_cls_loss",
+             "head_res_loss", "size_cls_loss", "size_res_loss", "corners_loss")
+
+
+def metric_keys(iou_thresh: float):
+    return ("cls_acc", "head_acc", "size_acc", "IoU_2D", "IoU_3D",
+            f"IoU_{iou_thresh}")
+
+
 def _compute_metrics(spec, cls_probs, cls_label, fg, num_fg,
                      h_scores, h_res, heading_bin_label,
                      s_scores, s_res, size_cls_label,

@@ -106,15 +106,9 @@ def init_state(model: FrustumConvNet, tx: optax.GradientTransformation,
     )
 
 
-def build_train_step(model: FrustumConvNet, spec: DetModelSpec,
-                     tx: optax.GradientTransformation, cfg: TrainStepConfig,
-                     mesh=None, donate: bool = True):
-    """Returns jitted ``step(state, batch) -> (state, losses, metrics)``.
-
-    batch: point_cloud (B, N, C), one_hot (B, V), refs tuple of (B, M_i, 3),
-    cls_label (B, L), box3d_center (B, 3), box3d_heading (B,),
-    box3d_size (B, 3), size_class (B,).
-    """
+def _train_core(model: FrustumConvNet, spec: DetModelSpec,
+                tx: optax.GradientTransformation, cfg: TrainStepConfig):
+    """The un-jitted step body shared by the plain and accumulating builders."""
 
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
@@ -147,6 +141,20 @@ def build_train_step(model: FrustumConvNet, spec: DetModelSpec,
         )
         return new_state, losses, metrics
 
+    return step_fn
+
+
+def build_train_step(model: FrustumConvNet, spec: DetModelSpec,
+                     tx: optax.GradientTransformation, cfg: TrainStepConfig,
+                     mesh=None, donate: bool = True):
+    """Returns jitted ``step(state, batch) -> (state, losses, metrics)``.
+
+    batch: point_cloud (B, N, C), one_hot (B, V), refs tuple of (B, M_i, 3),
+    cls_label (B, L), box3d_center (B, 3), box3d_heading (B,),
+    box3d_size (B, 3), size_class (B,).
+    """
+    step_fn = _train_core(model, spec, tx, cfg)
+
     if mesh is not None:
         repl = replicated(mesh)
         dp = data_sharding(mesh)
@@ -157,6 +165,43 @@ def build_train_step(model: FrustumConvNet, spec: DetModelSpec,
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def build_train_step_accum(model: FrustumConvNet, spec: DetModelSpec,
+                           tx: optax.GradientTransformation,
+                           cfg: TrainStepConfig, mesh=None,
+                           donate: bool = True):
+    """Train step with on-device metric accumulation.
+
+    ``step(state, accum, batch) -> (state, accum + {losses, metrics},
+    losses, metrics)`` — epoch statistics accumulate EVERY iteration (the
+    reference updates TrainingStates per batch, `train_net_det.py:134-154`)
+    without a per-step device->host sync: the host fetches ``accum`` once
+    per epoch (and the step's scalars only at disp intervals).
+    """
+    core = _train_core(model, spec, tx, cfg)
+
+    def step_fn(state: TrainState, accum, batch):
+        new_state, losses, metrics = core(state, batch)
+        vals = {**losses, **metrics}
+        new_accum = {k: accum[k] + vals[k] for k in vals}
+        return new_state, new_accum, losses, metrics
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        dp = data_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, dp),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
+
+
+def init_accum(keys) -> dict:
+    """Zero-initialized on-device accumulator for ``build_train_step_accum``."""
+    return {k: jnp.zeros((), jnp.float32) for k in keys}
 
 
 def build_eval_step(model: FrustumConvNet, spec: DetModelSpec,
