@@ -125,3 +125,49 @@ def build_gt_all(sunrgbd_dir: str, idx_list, type_whitelist) -> Dict[str, Dict[i
                 compute_box3d_upright_depth(obj))
             gt_all.setdefault(obj.classname, {}).setdefault(idx, []).append(corners)
     return gt_all
+
+
+def load_matlab_gt_cls(gt_boxes_dir: str, classname: str) -> Dict[int, List[np.ndarray]]:
+    """Load one class's GT boxes from the reference's MATLAB eval dumps.
+
+    The reference ships the MATLAB evaluator's ground truth as
+    ``<cls>_gt_boxes.dat`` (rows: 8 xy floats = 4 BEV vertices in upright
+    depth coords, then zmin, zmax) plus ``<cls>_gt_imgids.txt``, and pins
+    its Python VOC-AP evaluator to the MATLAB one through them
+    (`/root/reference/train/sunrgbd_eval/compare_matlab_python_eval.py:25-79`).
+    Conversion: fix vertex winding to counter-clockwise, extrude [zmin,
+    zmax], flip depth axes to camera (X,-Z,Y swap), then swap the top/bottom
+    corner quads — yielding the 8-corner upright-camera boxes our evaluator
+    consumes.
+    """
+    import os
+
+    boxes = np.loadtxt(os.path.join(gt_boxes_dir, f"{classname}_gt_boxes.dat"))
+    imgids = np.loadtxt(os.path.join(gt_boxes_dir, f"{classname}_gt_imgids.txt"))
+    boxes = np.atleast_2d(boxes)
+    imgids = np.atleast_1d(imgids)
+
+    gt: Dict[int, List[np.ndarray]] = {}
+    for row, imgid in zip(boxes, imgids):
+        xy = row[:8].reshape(4, 2)
+        # MATLAB dumps mix windings; normalize to negative signed area
+        # (the reference keeps the order when its shoelace test
+        # `is_clockwise` is true, i.e. 2*signed_area < 0, and reverses
+        # otherwise — `compare_matlab_python_eval.py:33-40`)
+        area2 = float(np.cross(xy[1] - xy[0], xy[2] - xy[0])
+                      + np.cross(xy[2] - xy[0], xy[3] - xy[0]))
+        if area2 > 0:
+            xy = xy[::-1]
+        zmin, zmax = row[8], row[9]
+        depth = np.zeros((8, 3))
+        depth[0:4, 0:2] = xy
+        depth[4:8, 0:2] = xy
+        depth[0:4, 2] = zmax
+        depth[4:8, 2] = zmin
+        # upright depth (X right, Y fwd, Z up) -> camera (X right, Y down,
+        # Z fwd), then put the y=low quad first (camera-frame convention)
+        cam = depth[:, [0, 2, 1]].copy()
+        cam[:, 1] *= -1
+        flipped = np.concatenate([cam[4:8], cam[0:4]], axis=0)
+        gt.setdefault(int(imgid), []).append(flipped)
+    return gt
