@@ -332,6 +332,23 @@ def load_state_for_test(model, spec, cfg_, dataset, logger) -> TrainState:
     return state
 
 
+def package_test_results(result_dir: str) -> str:
+    """Zip ``result_dir``'s contents into a sibling ``results.zip`` for
+    KITTI test-server submission (ref train/test_net_det.py:317-319, which
+    shells out to ``zip -r ../results.zip *`` from inside the result dir).
+    Archive paths are relative to ``result_dir`` (``data/xxxxxx.txt``)."""
+    import zipfile
+
+    zip_path = os.path.join(os.path.dirname(os.path.abspath(result_dir)),
+                            "results.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(result_dir):
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                zf.write(full, os.path.relpath(full, result_dir))
+    return zip_path
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Test FrustumConvNet on TPU")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
@@ -371,7 +388,12 @@ def main(argv=None):
                                        nms_threshold=nms_thresh)
     logger.info(f"results written to {data_dir}")
 
-    if not args.no_eval and "test" not in cfg.TEST.DATASET:
+    if "test" in cfg.TEST.DATASET:
+        # package the result dir for KITTI test-server submission
+        # (ref train/test_net_det.py:317-319: zip of result/* -> results.zip)
+        zip_path = package_test_results(result_dir)
+        logger.info(f"results file saved in {result_dir}; packaged {zip_path}")
+    elif not args.no_eval:
         from frustum_convnet_tpu.evaluation import kitti_eval
         results = kitti_eval.evaluate(args.gt_dir, result_dir,
                                       classes=("car", "pedestrian", "cyclist")
