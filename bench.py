@@ -47,8 +47,10 @@ def main():
 
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
+    from frustum_convnet_tpu.models.registry import get_compute_dtype
+
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
 
     batch = make_batch(spec, batch=BATCH, seed=0, with_labels=False)
     pts = jnp.asarray(batch["point_cloud"])

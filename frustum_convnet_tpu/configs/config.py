@@ -118,7 +118,11 @@ def _build_default_cfg() -> AttrDict:
     C.TPU = AttrDict()
     C.TPU.MESH_SHAPE = [-1]  # data-parallel axis; -1 = all devices
     C.TPU.MESH_AXES = ["data"]
-    C.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
+    C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16
+    # inference compute dtype (params stay f32). bfloat16 measured perf-neutral
+    # on v5e for this model (the Pallas grouping kernel dominates, BENCH_NOTES),
+    # so the default keeps float32 numerics.
+    C.TPU.INFER_DTYPE = "float32"
     C.TPU.PREFETCH = 2  # host pipeline prefetch depth
     C.TPU.DONATE = True  # donate train-state buffers to the jitted step
     return C

@@ -31,7 +31,8 @@ from frustum_convnet_tpu.data.registry import get_provider_class
 from frustum_convnet_tpu.engine import checkpoints as ckpt
 from frustum_convnet_tpu.evaluation.kitti_writer import write_detection_results
 from frustum_convnet_tpu.models.net import FrustumConvNet
-from frustum_convnet_tpu.models.registry import get_model_spec
+from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                  get_model_spec)
 from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState,
                                                      init_state, make_optimizer)
 from frustum_convnet_tpu.models.det import decode_outputs
@@ -369,7 +370,7 @@ def main(argv=None):
     logger = get_logger(os.path.join(result_dir, "test.log"))
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
     provider_cls = get_provider_class(cfg)
     dataset = provider_cls(cfg, cfg.TEST.DATASET, one_hot=True,
                            from_rgb_detection=cfg.FROM_RGB_DET,

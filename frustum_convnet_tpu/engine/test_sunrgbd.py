@@ -29,7 +29,8 @@ from frustum_convnet_tpu.data.sunrgbd.prepare import TYPE_WHITELIST_10
 from frustum_convnet_tpu.engine.test import build_infer_fn, load_state_for_test
 from frustum_convnet_tpu.evaluation.sunrgbd_eval import build_gt_all, eval_det
 from frustum_convnet_tpu.models.net import FrustumConvNet
-from frustum_convnet_tpu.models.registry import get_model_spec
+from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                  get_model_spec)
 from frustum_convnet_tpu.utils.logger import get_logger
 
 FG_PROB_THRESH = 0.5
@@ -122,7 +123,7 @@ def main(argv=None):
     logger = get_logger(os.path.join(result_dir, "test.log"))
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
     dataset = FrustumSunrgbdProvider(
         cfg, cfg.TEST.DATASET, one_hot=True,
         from_rgb_detection=cfg.FROM_RGB_DET,

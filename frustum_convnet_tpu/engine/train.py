@@ -31,7 +31,8 @@ from frustum_convnet_tpu.data.registry import get_provider_class
 from frustum_convnet_tpu.engine import checkpoints as ckpt
 from frustum_convnet_tpu.engine.loader import BatchLoader
 from frustum_convnet_tpu.models.net import FrustumConvNet
-from frustum_convnet_tpu.models.registry import get_model_spec
+from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                  get_model_spec)
 from frustum_convnet_tpu.parallel.mesh import make_mesh, shard_batch
 from frustum_convnet_tpu.models import det
 from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState,
@@ -159,7 +160,7 @@ def main(argv=None):
     logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
 
     provider_cls = get_provider_class(cfg)
     train_ds = provider_cls(cfg, cfg.TRAIN.DATASET, random_flip=True,

@@ -20,13 +20,14 @@ kaiming-uniform(fan_in) heads (`det_base.py:254-258`).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from frustum_convnet_tpu.models.spec import DetModelSpec
-from frustum_convnet_tpu.ops.select_pallas import group_depth_point_auto
+from frustum_convnet_tpu.ops.select_pallas import (group_depth_point_auto,
+                                                    group_depth_point_multi_auto)
 
 _kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
@@ -36,11 +37,14 @@ class DenseBNReLU(nn.Module):
     """1x1 conv + BN + ReLU as a Dense matmul (channels-last)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, use_bias=False, kernel_init=_kaiming_normal)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.Dense(self.features, use_bias=False, kernel_init=_kaiming_normal,
+                     dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -51,6 +55,7 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     pad: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -61,8 +66,10 @@ class ConvBNReLU(nn.Module):
             padding=((self.pad, self.pad),),
             use_bias=False,
             kernel_init=_kaiming_normal,
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -72,6 +79,7 @@ class DeConvBNReLU(nn.Module):
     features: int
     kernel: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -82,8 +90,10 @@ class DeConvBNReLU(nn.Module):
             padding="VALID",
             use_bias=False,
             kernel_init=_kaiming_normal,
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -99,25 +109,39 @@ class PointNetScale(nn.Module):
     dist: float
     nsample: int
     use_feature: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, points, ref, train: bool):
+    def __call__(self, points, ref, train: bool, grouped=None):
         # points (B, N, C>=3); ref (B, M, 3) in any order (the Pallas select
         # kernel has no sorted-ladder assumption, so padded refine ladders
-        # with duplicated tail sections are handled exactly)
-        feats = points if self.use_feature else points[..., :3]
-        g, cnt = group_depth_point_auto(feats, ref, self.dist, self.nsample)
+        # with duplicated tail sections are handled exactly).
+        # ``grouped`` short-circuits the query: FrustumConvNet batches all
+        # scales' grouping into one kernel launch and passes (g, cnt) in.
+        if grouped is None:
+            feats = points if self.use_feature else points[..., :3]
+            g, cnt = group_depth_point_auto(feats, ref, self.dist, self.nsample)
+        else:
+            g, cnt = grouped
         for width in self.mlp:
-            g = DenseBNReLU(width)(g, train)
+            g = DenseBNReLU(width, dtype=self.dtype)(g, train)
         valid = (cnt > 0)[..., None, None]
         g = jnp.where(valid, g, 0.0)
         return jnp.max(g, axis=2)  # (B, M, mlp[-1])
 
 
 class FrustumConvNet(nn.Module):
-    """The full detector. Returns (cls_logits (B, L, 2), reg (B, L, R))."""
+    """The full detector. Returns (cls_logits (B, L, 2), reg (B, L, R)).
+
+    ``dtype`` is the computation dtype (params stay float32): pass
+    ``jnp.bfloat16`` for MXU-rate matmuls + halved activation bandwidth —
+    the default for the inference drivers (cfg.TPU.INFER_DTYPE); training
+    keeps float32 unless cfg.TPU.COMPUTE_DTYPE says otherwise. Head outputs
+    are always cast back to float32.
+    """
 
     spec: DetModelSpec
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, one_hot, refs, train: bool = False):
@@ -131,6 +155,10 @@ class FrustumConvNet(nn.Module):
         assert len(refs) == s.num_scales
 
         # --- multi-scale pointnet features (ref PointNetFeat, det_base.py:107-159)
+        # every scale's depth-window grouping runs in ONE fused kernel launch
+        feats = points if s.use_extra_feature else points[..., :3]
+        groups = group_depth_point_multi_auto(
+            feats, list(refs), list(s.height_half), list(s.nsamples))
         scale_feats = []
         for i in range(s.num_scales):
             f = PointNetScale(
@@ -138,35 +166,43 @@ class FrustumConvNet(nn.Module):
                 dist=s.height_half[i],
                 nsample=s.nsamples[i],
                 use_feature=s.use_extra_feature,
+                dtype=self.dtype,
                 name=f"pointnet{i + 1}",
-            )(points, refs[i], train)
+            )(points, refs[i], train, grouped=groups[i])
             # append one-hot class vector at every section
             oh = jnp.broadcast_to(one_hot[:, None, :], (f.shape[0], f.shape[1], one_hot.shape[-1]))
             scale_feats.append(jnp.concatenate([f, oh], axis=-1))
 
         # --- 1D conv encoder-decoder (ref ConvFeatNet, det_base.py:163-224)
         ch = s.block_channels
-        x = ConvBNReLU(ch[0], 3, 1, 1, name="block1_conv1")(scale_feats[0], train)
+        x = ConvBNReLU(ch[0], 3, 1, 1, dtype=self.dtype,
+                       name="block1_conv1")(scale_feats[0], train)
         laterals = []
         for b in range(1, len(ch)):
-            x = ConvBNReLU(ch[b], 3, 2, 1, name=f"block{b + 1}_conv1")(x, train)
-            x = ConvBNReLU(ch[b], 3, 1, 1, name=f"block{b + 1}_conv2")(x, train)
-            x = jnp.concatenate([x, scale_feats[b]], axis=-1)
-            x = ConvBNReLU(ch[b], 1, 1, 0, name=f"block{b + 1}_merge")(x, train)
+            x = ConvBNReLU(ch[b], 3, 2, 1, dtype=self.dtype,
+                           name=f"block{b + 1}_conv1")(x, train)
+            x = ConvBNReLU(ch[b], 3, 1, 1, dtype=self.dtype,
+                           name=f"block{b + 1}_conv2")(x, train)
+            x = jnp.concatenate([x, scale_feats[b].astype(self.dtype)], axis=-1)
+            x = ConvBNReLU(ch[b], 1, 1, 0, dtype=self.dtype,
+                           name=f"block{b + 1}_merge")(x, train)
             laterals.append(x)
 
         ups = []
         out_len = laterals[0].shape[1]
         for b, lat in enumerate(laterals):
             k = 2 ** b
-            u = DeConvBNReLU(s.deconv_channels, k, k, name=f"block{b + 2}_deconv")(lat, train)
+            u = DeConvBNReLU(s.deconv_channels, k, k, dtype=self.dtype,
+                             name=f"block{b + 2}_deconv")(lat, train)
             ups.append(u[:, :out_len])
         x = jnp.concatenate(ups, axis=-1)  # (B, L, head_channels)
 
         # --- heads (ref det_base.py:250-258)
-        cls_logits = nn.Dense(s.num_classes, kernel_init=_kaiming_uniform, name="cls_out")(x)
-        reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform, name="reg_out")(x)
-        return cls_logits, reg
+        cls_logits = nn.Dense(s.num_classes, kernel_init=_kaiming_uniform,
+                              dtype=self.dtype, name="cls_out")(x)
+        reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform,
+                       dtype=self.dtype, name="reg_out")(x)
+        return cls_logits.astype(jnp.float32), reg.astype(jnp.float32)
 
 
 def slice_reg_output(reg: jnp.ndarray, spec: DetModelSpec):

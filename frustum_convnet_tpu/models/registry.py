@@ -22,3 +22,12 @@ def get_model_spec(cfg):
     if name not in MODEL_REGISTRY:
         raise KeyError(f"Unknown model '{name}'. Known: {sorted(MODEL_REGISTRY)}")
     return MODEL_REGISTRY[name](cfg)
+
+
+def get_compute_dtype(cfg, train: bool):
+    """Resolve the model computation dtype from cfg.TPU.{COMPUTE,INFER}_DTYPE
+    (params always stay float32; see models/net.FrustumConvNet)."""
+    import jax.numpy as jnp
+
+    name = cfg.TPU.COMPUTE_DTYPE if train else cfg.TPU.INFER_DTYPE
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]

@@ -53,39 +53,51 @@ def _gather_lanes(src, pos, n_tiles):
     return out
 
 
-def _select_core(zp, zr, dis_z, nsample, n_pow2):
+def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):
     """Shared kernel body: (idx, cnt) for one (MT,) tile of sections.
 
     zp (1, Np) f32 (padded +inf); zr (MT, 1) f32 (padded -inf).
+    ``dis_z`` may be a python float or a per-section (MT, 1) plane;
+    ``nsample`` a python int or a per-section (MT,) plane (then ``k_chunks``
+    — slot lanes / 128 — must be given statically). ``L`` is the
+    (Np, Np) upper-triangular-ones bf16 matrix driving the MXU scan.
     """
     mt = zr.shape[0]
     n_tiles = n_pow2 // _LANES
+    if k_chunks is None:
+        k_chunks = -(-nsample // _LANES)
 
     # depth-window hit mask (strict <, matching the CUDA kernel); padded
     # points are +inf and padded sections -inf, so neither ever matches
     mask = jnp.abs(zp - zr) < dis_z  # (MT, Np)
-    mi = mask.astype(jnp.int32)
 
-    # inclusive running match count along n: Hillis-Steele scan over lanes
-    lane = jax.lax.broadcasted_iota(jnp.int32, (mt, n_pow2), 1)
-    s = mi
-    shift = 1
-    while shift < n_pow2:
-        rolled = pltpu.roll(s, shift, axis=1)
-        s = s + jnp.where(lane >= shift, rolled, 0)
-        shift *= 2
+    # inclusive running match count along n, as ONE MXU matmul against the
+    # upper-triangular ones matrix: S[m, j] = sum_n mask[m, n] * [n <= j].
+    # 0/1 bf16 products accumulated in f32 are exact (counts <= Np < 2^24),
+    # and the matmul is ~10x faster than a lane-roll Hillis-Steele scan
+    # (pltpu.roll across a 1024-lane row is the kernel's former hot spot).
+    s = jax.lax.dot_general(mask.astype(jnp.bfloat16), L,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)
 
     cnt = jnp.minimum(s[:, n_pow2 - 1], nsample)  # (MT,)
 
-    # binary lifting: slot k resolves to the first n with S[n] >= k + 1
-    # (S increments exactly at matches, so that n IS the (k+1)-th match);
-    # slots run in 128-wide chunks
+    # slot k resolves to the first n with S[n] >= k + 1 (S increments
+    # exactly at matches, so that n IS the (k+1)-th match). Hierarchical
+    # search: pick the 128-lane tile from the tile-end counts (cheap lane
+    # broadcasts), then binary-lift the 7 in-tile steps (composite
+    # dynamic_gather probes). Slots run in 128-wide chunks.
     idx_parts = []
-    for kc in range(0, nsample, _LANES):
+    for kc in range(0, k_chunks * _LANES, _LANES):
         slot = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1) + kc
         target = slot + 1  # slot k targets the (k+1)-th match
-        pos = jnp.zeros((mt, _LANES), jnp.int32)
-        step = n_pow2
+        tile_of = jnp.zeros((mt, _LANES), jnp.int32)
+        for t in range(n_tiles - 1):
+            end = s[:, (t + 1) * _LANES - 1:(t + 1) * _LANES]  # (MT, 1)
+            tile_of = tile_of + (end < target).astype(jnp.int32)
+        pos = tile_of * _LANES
+        step = _LANES
         while step > 1:
             step //= 2
             # last index of the candidate half, < Np
@@ -103,8 +115,8 @@ def _select_core(zp, zr, dis_z, nsample, n_pow2):
     return idx, cnt
 
 
-def _select_kernel(zp_ref, zr_ref, idx_ref, cnt_ref, *, dis_z, nsample, n_pow2):
-    idx, cnt = _select_core(zp_ref[0], zr_ref[0], dis_z, nsample, n_pow2)
+def _select_kernel(zp_ref, zr_ref, L_ref, idx_ref, cnt_ref, *, dis_z, nsample, n_pow2):
+    idx, cnt = _select_core(zp_ref[0], zr_ref[0], dis_z, nsample, n_pow2, L_ref[:])
     idx_ref[0] = idx[:, :nsample]
     cnt_ref[0] = cnt[:, None]
 
@@ -119,9 +131,10 @@ def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
     a 128 multiple, sliced off by the caller), cnt (1, MT, 1) i32.
     """
     chan_refs = refs[:n_channels]
-    rx_ref, ry_ref, rz_ref = refs[n_channels:n_channels + 3]
-    grouped_ref, cnt_ref, row_scratch = refs[n_channels + 3:]
-    idx, cnt = _select_core(chan_refs[2][0], rz_ref[0], dis_z, nsample, n_pow2)
+    rx_ref, ry_ref, rz_ref, L_ref = refs[n_channels:n_channels + 4]
+    grouped_ref, cnt_ref, row_scratch = refs[n_channels + 4:]
+    idx, cnt = _select_core(chan_refs[2][0], rz_ref[0], dis_z, nsample, n_pow2,
+                            L_ref[:])
     cnt_ref[0] = cnt[:, None]
 
     mt = idx.shape[0]
@@ -138,6 +151,14 @@ def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
             g = g - center[c]  # center-subtract xyz
         parts.append(g)
     grouped_ref[0] = jnp.concatenate(parts, axis=1)  # (MT, C*Kpad)
+
+
+def _scan_matrix(n_pow2: int) -> jnp.ndarray:
+    """(Np, Np) upper-triangular ones (incl. diagonal), bf16, for the MXU
+    scan. Passed as a kernel input with a constant block index, so Pallas
+    DMAs it once and reuses it across grid steps."""
+    r = np.arange(n_pow2)
+    return jnp.asarray(r[:, None] <= r[None, :], jnp.bfloat16)
 
 
 def _pad_inputs(z_points, z_ref, mt):
@@ -181,6 +202,8 @@ def query_depth_point_pallas(z_points: jnp.ndarray, z_ref: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mt, 1), lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, mt, nsample),
@@ -194,7 +217,7 @@ def query_depth_point_pallas(z_points: jnp.ndarray, z_ref: jnp.ndarray,
             jax.ShapeDtypeStruct((b * m_tiles, mt, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(zp3, zr3)
+    )(zp3, zr3, _scan_matrix(n_pow2))
     idx = idx.reshape(b, m + m_pad, nsample)[:, :m]
     cnt = cnt.reshape(b, m + m_pad)[:, :m]
     return idx, cnt
@@ -238,6 +261,8 @@ def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
     tile_spec = pl.BlockSpec((1, mt, 1),
                              lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
                              memory_space=pltpu.VMEM)
+    L_spec = pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
     grouped, cnt = pl.pallas_call(
         kernel,
         grid=(b, m_tiles),
@@ -245,7 +270,7 @@ def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
             pl.BlockSpec((1, 1, n_pow2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(c)
-        ] + [tile_spec] * 3,
+        ] + [tile_spec] * 3 + [L_spec],
         out_specs=(
             pl.BlockSpec((1, mt, c * k_pad),
                          lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
@@ -258,12 +283,142 @@ def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
         ),
         scratch_shapes=[pltpu.VMEM((mt, n_pow2), jnp.float32)],
         interpret=interpret,
-    )(*chans, *coords)
+    )(*chans, *coords, _scan_matrix(n_pow2))
     # channel-major padded segments -> (B, M, K, C)
     grouped = grouped.reshape(b, m + m_pad, c, k_pad)[:, :m, :, :nsample]
     grouped = jnp.transpose(grouped, (0, 1, 3, 2))
     cnt = cnt.reshape(b, m + m_pad)[:, :m]
     return grouped, cnt
+
+
+def _group_multi_kernel(*refs, n_pow2, n_channels, k_pad):
+    """Fused multi-scale select + gather + center-subtract.
+
+    Like ``_group_kernel`` but ``dis_z`` / ``nsample`` arrive as per-section
+    VMEM planes, so ONE launch covers every grouping scale of the model
+    (4x fewer programs than per-scale calls; the section rows of all scales
+    are concatenated and tiled together).
+    """
+    chan_refs = refs[:n_channels]
+    rx_ref, ry_ref, rz_ref, dz_ref, ns_ref, L_ref = refs[n_channels:n_channels + 6]
+    grouped_ref, cnt_ref, row_scratch = refs[n_channels + 6:]
+    idx, cnt = _select_core(chan_refs[2][0], rz_ref[0], dz_ref[0],
+                            ns_ref[0][:, 0], n_pow2, L_ref[:],
+                            k_chunks=k_pad // _LANES)
+    cnt_ref[0] = cnt[:, None]
+
+    mt = idx.shape[0]
+    n_tiles = n_pow2 // _LANES
+    zeros = jnp.zeros((mt, n_pow2), jnp.float32)
+    center = (rx_ref[0], ry_ref[0], rz_ref[0])  # (MT, 1) each
+    parts = []
+    for c in range(n_channels):
+        row_scratch[:] = zeros + chan_refs[c][0]
+        g = _gather_lanes(row_scratch[:], idx, n_tiles)  # (MT, k_pad)
+        if c < 3:
+            g = g - center[c]
+        parts.append(g)
+    grouped_ref[0] = jnp.concatenate(parts, axis=1)  # (MT, C*k_pad)
+
+
+def group_depth_point_multi(points: jnp.ndarray, refs, dis_zs, nsamples,
+                            interpret: bool = False):
+    """All grouping scales in ONE kernel launch.
+
+    points (B, N, C); refs = [(B, M_i, 3), ...] with per-scale window
+    ``dis_zs[i]`` and slot count ``nsamples[i]``. Returns a list of
+    ``(grouped (B, M_i, K_i, C), cnt (B, M_i))`` — bit-identical to calling
+    ``group_depth_point_pallas`` per scale (the per-scale launches are what
+    this replaces; see BENCH_NOTES.md round-2 profile).
+    """
+    b, n, c = points.shape
+    ms = [int(r.shape[1]) for r in refs]
+    mtot = sum(ms)
+    n_pow2 = max(_LANES, 1 << (n - 1).bit_length())
+
+    # tile size: as few programs as possible while (MT, Np) stays VMEM-sized
+    cap = max(8, min(256, (262144 // n_pow2) // 8 * 8))
+    m_tiles = -(-mtot // cap)
+    mt = -(-(-(-mtot // m_tiles)) // 8) * 8
+
+    ref_cat = jnp.concatenate(list(refs), axis=1)  # (B, Mtot, 3)
+    zp, zr, n_pow2, m_pad = _pad_inputs(points[..., 2], ref_cat[..., 2], mt)
+    m_tiles = (mtot + m_pad) // mt
+
+    chans = []
+    for ci in range(c):
+        if ci == 2:
+            chans.append(zp.reshape(b, 1, n_pow2))
+        else:
+            chans.append(jnp.pad(points[..., ci], ((0, 0), (0, n_pow2 - n)))
+                         .reshape(b, 1, n_pow2))
+    ref_pad = jnp.pad(ref_cat.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)))
+    coords = [ref_pad[..., 0].reshape(b * m_tiles, mt, 1),
+              ref_pad[..., 1].reshape(b * m_tiles, mt, 1),
+              zr.reshape(b * m_tiles, mt, 1)]
+
+    # per-section window / slot-count planes (constant within a scale)
+    dz = jnp.concatenate([jnp.full((m_,), float(d), jnp.float32)
+                          for m_, d in zip(ms, dis_zs)])
+    ns = jnp.concatenate([jnp.full((m_,), int(k), jnp.int32)
+                          for m_, k in zip(ms, nsamples)])
+    dz = jnp.broadcast_to(jnp.pad(dz, (0, m_pad)), (b, mtot + m_pad))
+    ns = jnp.broadcast_to(jnp.pad(ns, (0, m_pad)), (b, mtot + m_pad))
+    planes = [dz.reshape(b * m_tiles, mt, 1), ns.reshape(b * m_tiles, mt, 1)]
+
+    k_pad = max(-k % _LANES + k for k in nsamples)
+    kernel = functools.partial(_group_multi_kernel, n_pow2=n_pow2,
+                               n_channels=c, k_pad=k_pad)
+    tile_spec = pl.BlockSpec((1, mt, 1),
+                             lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    L_spec = pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    grouped, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, m_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pow2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(c)
+        ] + [tile_spec] * 5 + [L_spec],
+        out_specs=(
+            pl.BlockSpec((1, mt, c * k_pad),
+                         lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * m_tiles, mt, c * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * m_tiles, mt, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((mt, n_pow2), jnp.float32)],
+        interpret=interpret,
+    )(*chans, *coords, *planes, _scan_matrix(n_pow2))
+
+    grouped = grouped.reshape(b, mtot + m_pad, c, k_pad)
+    cnt = cnt.reshape(b, mtot + m_pad)
+    outs = []
+    off = 0
+    for m_, k in zip(ms, nsamples):
+        g = jnp.transpose(grouped[:, off:off + m_, :, :k], (0, 1, 3, 2))
+        outs.append((g, cnt[:, off:off + m_]))
+        off += m_
+    return outs
+
+
+def group_depth_point_multi_auto(points: jnp.ndarray, refs, dis_zs, nsamples):
+    """Backend dispatch for the multi-scale grouping (TPU kernel vs XLA)."""
+    if jax.default_backend() == "tpu":
+        return group_depth_point_multi(points, refs, dis_zs, nsamples)
+    from frustum_convnet_tpu.ops.query_depth_point import (group_points,
+                                                           query_depth_point)
+
+    outs = []
+    for ref, d, k in zip(refs, dis_zs, nsamples):
+        idx, cnt = query_depth_point(points[..., 2], ref[..., 2], d, k)
+        outs.append((group_points(points, ref, idx), cnt))
+    return outs
 
 
 def group_depth_point_auto(points: jnp.ndarray, ref: jnp.ndarray,

@@ -81,3 +81,39 @@ def test_fused_grouping_matches_gather(rng, c, k):
     got, cnt_p = group_depth_point_pallas(pts, ref, 0.8, k, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), expect)
     np.testing.assert_array_equal(np.asarray(cnt_p), cnt)
+
+
+def test_multi_scale_matches_per_scale(rng):
+    """One fused multi-scale launch == per-scale fused kernels, bit-for-bit
+    (KITTI-like ladder: 4 scales, mixed M/K/dis_z)."""
+    from frustum_convnet_tpu.ops.select_pallas import group_depth_point_multi
+
+    b, n, c = 2, 512, 4
+    pts = rng.uniform(-3, 70, (b, n, c)).astype(np.float32)
+    ms = [140, 70, 35, 18]
+    ds = [0.25, 0.5, 1.0, 2.0]
+    ks = [32, 64, 64, 128]
+    refs = [rng.uniform(0, 70, (b, m, 3)).astype(np.float32) for m in ms]
+
+    outs = group_depth_point_multi(pts, refs, ds, ks, interpret=True)
+    for (g, cnt), ref, d, k in zip(outs, refs, ds, ks):
+        g1, cnt1 = group_depth_point_pallas(pts, ref, d, k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g1))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt1))
+
+
+def test_multi_scale_matches_xla_auto(rng):
+    """multi_auto's XLA fallback == the oracle path per scale."""
+    from frustum_convnet_tpu.ops.select_pallas import group_depth_point_multi
+
+    b, n, c = 1, 256, 3
+    pts = rng.uniform(0, 20, (b, n, c)).astype(np.float32)
+    ms, ds, ks = [50, 25], [0.3, 0.6], [16, 8]
+    refs = [np.sort(rng.uniform(0, 20, (b, m, 3)).astype(np.float32), axis=1)
+            for m in ms]
+    outs = group_depth_point_multi(pts, refs, ds, ks, interpret=True)
+    for (g, cnt), ref, d, k in zip(outs, refs, ds, ks):
+        idx_o, cnt_o = query_depth_point_np(pts[..., 2], ref[..., 2], d, k)
+        expect = np.asarray(group_points(pts, ref, idx_o))
+        np.testing.assert_array_equal(np.asarray(g), expect)
+        np.testing.assert_array_equal(np.asarray(cnt), cnt_o)
