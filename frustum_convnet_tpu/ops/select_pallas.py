@@ -84,20 +84,26 @@ def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):
     cnt = jnp.minimum(s[:, n_pow2 - 1], nsample)  # (MT,)
 
     # slot k resolves to the first n with S[n] >= k + 1 (S increments
-    # exactly at matches, so that n IS the (k+1)-th match). Hierarchical
-    # search: pick the 128-lane tile from the tile-end counts (cheap lane
-    # broadcasts), then binary-lift the 7 in-tile steps (composite
-    # dynamic_gather probes). Slots run in 128-wide chunks.
+    # exactly at matches, so that n IS the (k+1)-th match). Two-level
+    # search: one composite gather builds a 128-lane coarse row (S at
+    # stride g = Np/128), binary-searched with cheap SINGLE-tile probes;
+    # the remaining log2(g) in-range steps use composite probes. This cuts
+    # composite (8-tile) gathers from 10 to log2(g) per chunk.
+    g_stride = n_pow2 // _LANES
+    ar = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1)
+    coarse = _gather_lanes(s, ar * g_stride + g_stride - 1, n_tiles)
     idx_parts = []
     for kc in range(0, k_chunks * _LANES, _LANES):
         slot = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1) + kc
         target = slot + 1  # slot k targets the (k+1)-th match
-        tile_of = jnp.zeros((mt, _LANES), jnp.int32)
-        for t in range(n_tiles - 1):
-            end = s[:, (t + 1) * _LANES - 1:(t + 1) * _LANES]  # (MT, 1)
-            tile_of = tile_of + (end < target).astype(jnp.int32)
-        pos = tile_of * _LANES
+        posc = jnp.zeros((mt, _LANES), jnp.int32)
         step = _LANES
+        while step > 1:
+            step //= 2
+            val = jnp.take_along_axis(coarse, posc + step - 1, axis=1)
+            posc = jnp.where(val < target, posc + step, posc)
+        pos = posc * g_stride
+        step = g_stride
         while step > 1:
             step //= 2
             # last index of the candidate half, < Np
