@@ -58,9 +58,8 @@ def main():
     from frustum_convnet_tpu.models.det import decode_outputs
     from frustum_convnet_tpu.models.net import FrustumConvNet, PointNetScale
     from frustum_convnet_tpu.models.registry import get_model_spec
-    from frustum_convnet_tpu.ops.query_depth_point import (group_points,
-                                                           query_depth_point)
-    from frustum_convnet_tpu.ops.select_pallas import query_depth_point_pallas
+    from frustum_convnet_tpu.ops.select_pallas import (group_depth_point_multi,
+                                                       query_depth_point_pallas)
 
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
@@ -90,46 +89,27 @@ def main():
 
     timeit("forward only", fwd, pts)
 
-    # ---- per-scale query (pallas kernel + dense XLA variants)
+    # ---- the production grouping: ONE multi-scale fused launch
+    hh, ks = list(spec.height_half), list(spec.nsamples)
+
+    def g_multi(p):
+        return group_depth_point_multi(p[..., :3], list(refs), hh, ks)
+
+    timeit("multi-scale fused grouping (1 launch)", g_multi, pts)
+
+    # ---- per-scale variants, for attribution (retired from the model path)
     for i in range(spec.num_scales):
         d, k = spec.height_half[i], spec.nsamples[i]
 
         def qpallas(p, i=i, d=d, k=k):
             return query_depth_point_pallas(p[..., 2], refs[i][..., 2], d, k)
 
-        def qdense(p, i=i, d=d, k=k):
-            return query_depth_point(p[..., 2], refs[i][..., 2], d, k)
-
         timeit(f"query pallas scale{i + 1} (M={spec.num_refs[i]},K={k})", qpallas, pts)
-        timeit(f"query dense  scale{i + 1} (M={spec.num_refs[i]},K={k})", qdense, pts)
 
-    # ---- query+gather all scales
-    def qg_all(p):
-        outs = []
-        for i in range(spec.num_scales):
-            idx, cnt = query_depth_point_pallas(
-                p[..., 2], refs[i][..., 2], spec.height_half[i], spec.nsamples[i])
-            outs.append(group_points(p[..., :3], refs[i], idx))
-            outs.append(cnt)
-        return outs
+    # ---- pointnet MLP stage on precomputed groups (per-scale MLP + pool)
+    groups = jax.block_until_ready(jax.jit(g_multi)(pts))
 
-    timeit("query+gather all scales", qg_all, pts)
-
-    # ---- pointnet scales (query+gather+MLP+pool), via submodule apply
-    for i in range(spec.num_scales):
-        sub = PointNetScale(mlp=spec.mlps[i], dist=spec.height_half[i],
-                            nsample=spec.nsamples[i], use_feature=False,
-                            name=f"pointnet{i + 1}")
-        sub_vars = {"params": variables["params"][f"pointnet{i + 1}"],
-                    "batch_stats": variables["batch_stats"][f"pointnet{i + 1}"]}
-
-        def pn(p, sub=sub, sub_vars=sub_vars, i=i):
-            return sub.apply(sub_vars, p, refs[i], False)
-
-        timeit(f"pointnet scale{i + 1}", pn, pts)
-
-    # ---- conv trunk + heads alone: run on precomputed scale feats
-    def feats_of(p):
+    def mlp_stage(g0):
         outs = []
         for i in range(spec.num_scales):
             sub = PointNetScale(mlp=spec.mlps[i], dist=spec.height_half[i],
@@ -137,13 +117,12 @@ def main():
                                 name=f"pointnet{i + 1}")
             sub_vars = {"params": variables["params"][f"pointnet{i + 1}"],
                         "batch_stats": variables["batch_stats"][f"pointnet{i + 1}"]}
-            f = sub.apply(sub_vars, p, refs[i], False)
-            oh = jnp.broadcast_to(one_hot[:, None, :], (f.shape[0], f.shape[1], one_hot.shape[-1]))
-            outs.append(jnp.concatenate([f, oh], axis=-1))
+            grouped = (g0, groups[0][1]) if i == 0 else groups[i]
+            outs.append(sub.apply(sub_vars, pts, refs[i], False,
+                                  grouped=grouped))
         return outs
 
-    scale_feats = jax.jit(feats_of)(pts)
-    jax.block_until_ready(scale_feats)
+    timeit("pointnet MLP stage (grouping precomputed)", mlp_stage, groups[0][0])
 
     def decode_only(cls_logits, reg):
         return decode_outputs(spec, cls_logits, reg, refs[1])
