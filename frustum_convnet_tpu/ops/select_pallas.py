@@ -42,15 +42,24 @@ _LANES = 128
 
 
 def _gather_lanes(src, pos, n_tiles):
-    """src (MT, Np) gathered at per-lane positions pos (MT, L), Np = 128*T."""
-    tile_of = pos // _LANES
-    local = pos - tile_of * _LANES
-    out = None
-    for t in range(n_tiles):
-        got = jnp.take_along_axis(src[:, t * _LANES:(t + 1) * _LANES], local,
-                                  axis=1)
-        out = got if out is None else jnp.where(tile_of == t, got, out)
-    return out
+    """src (MT, Np) gathered at per-lane positions pos (MT, L), Np = 128*T.
+
+    Mosaic's dynamic_gather needs index shape == source-slice shape, so wide
+    position rows (L > 128, e.g. nsample 256) are processed 128 lanes at a
+    time.
+    """
+    outs = []
+    for j in range(pos.shape[1] // _LANES):
+        p = pos[:, j * _LANES:(j + 1) * _LANES]
+        tile_of = p // _LANES
+        local = p - tile_of * _LANES
+        out = None
+        for t in range(n_tiles):
+            got = jnp.take_along_axis(src[:, t * _LANES:(t + 1) * _LANES],
+                                      local, axis=1)
+            out = got if out is None else jnp.where(tile_of == t, got, out)
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):

@@ -117,3 +117,22 @@ def test_multi_scale_matches_xla_auto(rng):
         expect = np.asarray(group_points(pts, ref, idx_o))
         np.testing.assert_array_equal(np.asarray(g), expect)
         np.testing.assert_array_equal(np.asarray(cnt), cnt_o)
+
+
+def test_multi_scale_k256_sunrgbd_shapes(rng):
+    """K=256 slot rows (SUN-RGBD nsamples) exercise the chunked wide-index
+    gather — a Mosaic dynamic_gather requires index shape == source shape,
+    so 256-lane index rows must be gathered 128 lanes at a time."""
+    from frustum_convnet_tpu.ops.select_pallas import group_depth_point_multi
+
+    b, n, c = 2, 512, 6
+    pts = rng.uniform(-3, 8, (b, n, c)).astype(np.float32)
+    ms, ds, ks = [80, 40, 20, 10, 5], [0.1, 0.2, 0.4, 0.8, 1.6], [128, 128, 256, 256, 256]
+    refs = [np.sort(rng.uniform(0, 8, (b, m, 3)).astype(np.float32), axis=1)
+            for m in ms]
+    outs = group_depth_point_multi(pts, refs, ds, ks, interpret=True)
+    for (g, cnt), ref, d, k in zip(outs, refs, ds, ks):
+        idx_o, cnt_o = query_depth_point_np(pts[..., 2], ref[..., 2], d, k)
+        expect = np.asarray(group_points(pts, ref, idx_o))
+        np.testing.assert_array_equal(np.asarray(g), expect)
+        np.testing.assert_array_equal(np.asarray(cnt), cnt_o)
