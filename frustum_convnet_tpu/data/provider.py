@@ -87,16 +87,35 @@ class FrustumProvider:
         """pi/2 + frustum_angle (ref :329-332)."""
         return np.pi / 2.0 + self.data["frustum_angle"][index]
 
+    def ref_depths(self) -> List[np.ndarray]:
+        """Static per-scale depth grids (ref :296 `arange(0, MAX, s) + s/2`)."""
+        return [np.arange(0, self.max_depth, s) + s / 2.0 for s in self.strides]
+
     def generate_ref(self, box2d, P) -> List[np.ndarray]:
         """Section-center ladders through the box-center pixel (ref :291-327)."""
         cx = (box2d[0] + box2d[2]) / 2.0
         cy = (box2d[1] + box2d[3]) / 2.0
         out = []
-        for s in self.strides:
-            z = np.arange(0, self.max_depth, s) + s / 2.0
+        for z in self.ref_depths():
             uvd = np.stack([np.full_like(z, cx), np.full_like(z, cy), z], axis=1)
             out.append(gnp.project_image_to_rect(uvd, P))
         return out
+
+    def ref_basis(self, box2d, P):
+        """(dir, off) of the affine ladder ``ref(z) = z * dir + off``.
+
+        Pinhole back-projection through the fixed box-center pixel is affine
+        in depth, so the whole ladder is carried by 6 floats per frustum —
+        the inference driver rebuilds the section ladders ON DEVICE from
+        these plus the static depth grids, cutting ~25% of the host->device
+        bytes (BENCH_NOTES.md). Rotation/flip are linear and commute with
+        the affine form.
+        """
+        cx = (box2d[0] + box2d[2]) / 2.0
+        cy = (box2d[1] + box2d[3]) / 2.0
+        pts = gnp.project_image_to_rect(
+            np.array([[cx, cy, 0.0], [cx, cy, 1.0]]), P)
+        return pts[1] - pts[0], pts[0]
 
     @staticmethod
     def generate_labels(center, dimension, angle, ref_xyz) -> np.ndarray:
@@ -130,8 +149,11 @@ class FrustumProvider:
         box2d = np.asarray(self.data["box2d"][index])
         P = np.asarray(self.data["calib"][index]["P2"]).reshape(3, 4)
         refs = self.generate_ref(box2d, P)
+        ref_dir, ref_off = self.ref_basis(box2d, P)
         if self.rotate_to_center:
             refs = [gnp.rotate_pc_along_y(r, rot) for r in refs]
+            ref_dir = gnp.rotate_pc_along_y(ref_dir[None], rot)[0]
+            ref_off = gnp.rotate_pc_along_y(ref_off[None], rot)[0]
 
         cls_type = self.data["type"][index]
         size_class = self.category_info.CLASSES.index(cls_type)
@@ -144,6 +166,8 @@ class FrustumProvider:
                 "rot_angle": np.float32(rot),
                 "rgb_prob": np.float32(self.data["prob"][index]),
                 "refs": [r.astype(np.float32) for r in refs],
+                "ref_dir": ref_dir.astype(np.float32),
+                "ref_off": ref_off.astype(np.float32),
             }
             if self.one_hot:
                 item["one_hot"] = one_hot_vec
@@ -167,6 +191,10 @@ class FrustumProvider:
             heading = np.pi - heading
             for r in refs:
                 r[:, 0] *= -1
+            ref_dir = ref_dir.copy()
+            ref_off = ref_off.copy()
+            ref_dir[0] *= -1
+            ref_off[0] *= -1
 
         if self.random_shift:  # depth jitter along the ray (ref :237-243)
             l, w, h = box3d_size
@@ -183,6 +211,8 @@ class FrustumProvider:
             "point_cloud": point_set.astype(np.float32),
             "rot_angle": np.float32(rot),
             "refs": [r.astype(np.float32) for r in refs],
+            "ref_dir": ref_dir.astype(np.float32),
+            "ref_off": ref_off.astype(np.float32),
             "cls_label": labels_ref2,
             "box3d_center": box3d_center.astype(np.float32),
             "box3d_heading": np.float32(heading),

@@ -50,7 +50,7 @@ def build_infer_fn(model, spec):
     return infer
 
 
-def build_infer_group_fn(model, spec, method: str, cap: int):
+def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
     """G stacked batches -> one dispatch, with on-device fg compaction.
 
     Per-dispatch latency and device->host bytes dominate a naive per-batch
@@ -64,11 +64,22 @@ def build_infer_group_fn(model, spec, method: str, cap: int):
     'top' keeps the argmax section.
     """
     sel_top = method != "nms"
+    # device-side ladder rebuild: the stage-1 ladders are affine in depth
+    # (`FrustumProvider.ref_basis`), so when z_grids is given the dispatch
+    # uploads 6 floats/frustum instead of the full (sum M_i, 3) ladders
+    z_consts = (None if z_grids is None
+                else [jnp.asarray(z, jnp.float32) for z in z_grids])
 
     @jax.jit
     def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
         def one(carry, xs):
-            pts, one_hot, refs = xs
+            if z_consts is None:
+                pts, one_hot, refs = xs
+            else:
+                pts, one_hot, rdir, roff = xs
+                refs = tuple(
+                    roff[:, None, :] + rdir[:, None, :] * z[None, :, None]
+                    for z in z_consts)
             cls_logits, reg = model.apply(
                 {"params": state_params, "batch_stats": state_stats},
                 pts, one_hot, list(refs), train=False)
@@ -104,7 +115,8 @@ def build_infer_group_fn(model, spec, method: str, cap: int):
             return carry, (packed, cnt)
 
         _, (packed, cnt) = jax.lax.scan(
-            one, 0, (pts_g, one_hot_g, refs_g))
+            one, 0, (pts_g, one_hot_g) + ((refs_g,) if z_consts is None
+                                          else refs_g))
         return packed, cnt
 
     return infer_group
@@ -237,8 +249,10 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
     """
     from frustum_convnet_tpu.engine.loader import BatchLoader
 
-    infer_group = build_infer_group_fn(model, spec, method,
-                                       1 if method != "nms" else fg_cap)
+    use_basis = hasattr(dataset, "ref_basis")
+    infer_group = build_infer_group_fn(
+        model, spec, method, 1 if method != "nms" else fg_cap,
+        z_grids=dataset.ref_depths() if use_basis else None)
     infer_full = build_infer_fn(model, spec)  # rare overflow fallback
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
@@ -258,9 +272,17 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         return postprocess_batch(jax.device_get(out), batch, dataset, method,
                                  det_results)
 
+    warm = {"t": None, "n": 0}
+
     def process_group(out_dev, batches) -> None:
         nonlocal n_dets, n_overflow
         packed_g, cnt_g = jax.device_get(out_dev)
+        if warm["t"] is None:
+            # first fetch completes compile + cold caches; steady-state
+            # throughput is measured from here
+            warm["t"] = time.time()
+        else:
+            warm["n"] += sum(int(b["_real"]) for b in batches)
         for g, batch in enumerate(batches):
             nd, overflow = postprocess_packed(packed_g[g], cnt_g[g], batch,
                                               dataset, det_results, cap)
@@ -280,11 +302,14 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         stack = [b for b in batches]
         pts_g = np.stack([b["point_cloud"] for b in stack])
         oh_g = np.stack([b["one_hot"] for b in stack])
-        refs_g = tuple(np.stack([b["refs"][i] for b in stack])
-                       for i in range(spec.num_scales))
+        if use_basis:  # ladders rebuilt on device from 6 floats/frustum
+            refs_g = (jnp.asarray(np.stack([b["ref_dir"] for b in stack])),
+                      jnp.asarray(np.stack([b["ref_off"] for b in stack])))
+        else:
+            refs_g = tuple(jnp.asarray(np.stack([b["refs"][i] for b in stack]))
+                           for i in range(spec.num_scales))
         out_dev = infer_group(state.params, state.batch_stats,
-                              jnp.asarray(pts_g), jnp.asarray(oh_g),
-                              tuple(jnp.asarray(r) for r in refs_g))
+                              jnp.asarray(pts_g), jnp.asarray(oh_g), refs_g)
         if pending is not None:
             process_group(*pending)
         pending = (out_dev, stack)
@@ -301,9 +326,14 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
 
     elapsed = time.time() - t_start
     n = len(dataset)
+    warm_note = ""
+    if warm["t"] is not None and warm["n"] > 0:
+        warm_rate = warm["n"] / max(time.time() - warm["t"], 1e-9)
+        warm_note = f"; steady-state {warm_rate:.0f} frustums/s after compile"
     logger.info(f"streamed {n} frustums in {elapsed:.2f}s = "
                 f"{n / elapsed:.0f} frustums/s end-to-end "
-                f"({n_dets} detections, {n_overflow} overflow re-runs)")
+                f"({n_dets} detections, {n_overflow} overflow re-runs)"
+                f"{warm_note}")
     return det_results
 
 

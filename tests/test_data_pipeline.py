@@ -116,3 +116,19 @@ def test_section_labels_sane(pickle_dir):
         pos = item["refs"][1][item["cls_label"] == 1]
         gt_z = item["box3d_center"][2]
         assert np.abs(pos[:, 2] - gt_z).min() < 3.0
+
+
+def test_ref_basis_reconstructs_ladders(pickle_dir):
+    """Device-side ladder rebuild contract: ref(z) = z * dir + off must
+    reproduce the host-generated (rotated, possibly flipped) ladders."""
+    cfg = make_cfg(pickle_dir)
+    ds = FrustumProvider(cfg, "train", one_hot=True, random_flip=True,
+                         random_shift=True)
+    depths = ds.ref_depths()
+    rng = np.random.default_rng(7)
+    for index in range(min(len(ds), 8)):
+        item = ds.__getitem__(index, rng)
+        d, o = item["ref_dir"], item["ref_off"]
+        for z, ref in zip(depths, item["refs"]):
+            rebuilt = o[None, :] + z[:, None].astype(np.float32) * d[None, :]
+            np.testing.assert_allclose(rebuilt, ref, atol=2e-4)
