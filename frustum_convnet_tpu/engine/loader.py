@@ -29,7 +29,7 @@ from frustum_convnet_tpu.data.provider import collate_batch
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, num_scales: int,
                  shuffle: bool = False, drop_last: bool = False, seed: int = 3,
-                 augment_rng: bool = True, prefetch: int = 2,
+                 prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
                  pad_last: bool = False, num_workers: int = 1):
         self.dataset = dataset
@@ -40,7 +40,6 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
-        self.augment_rng = augment_rng
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
@@ -78,8 +77,11 @@ class BatchLoader:
             sel = sel[lo:lo + self.local_batch]
             real = len(sel)
             if self.pad_last and real < self.local_batch:
+                # a host whose sub-shard lies fully past the dataset tail
+                # gets an all-pad batch (real == 0) built from item 0
+                fill = sel[-1] if real else order[0]
                 sel = np.concatenate(
-                    [sel, np.full(self.local_batch - real, sel[-1])])
+                    [sel, np.full(self.local_batch - real, fill)])
             items = [self.dataset.__getitem__(int(i), item_rng) for i in sel]
             batch = collate_batch(items, self.num_scales)
             if self.pad_last:

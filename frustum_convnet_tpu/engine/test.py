@@ -140,37 +140,26 @@ def select_foreground_batch(cls_probs: np.ndarray, real: int, method: str):
     return np.nonzero(fg)
 
 
-def postprocess_batch(out: dict, batch: dict, dataset, method: str,
-                      det_results: dict) -> int:
-    """Decode one device batch into KITTI-frame detections (all-numpy).
-
-    The per-detection math (de-rotate, ty shift) runs vectorized over every
-    selected section of the batch (`from_prediction_to_label_format_batch`);
-    python touches each detection only for the dict append. Returns the
-    number of accumulated detections.
-    """
-    real = int(batch["_real"])
-    idxs = batch["_indices"][:real]
-    cls_probs = out["cls_probs"]
-    det_b, det_m = select_foreground_batch(cls_probs, real, method)
-    if det_b.size == 0:
-        return 0
-
+def _accumulate_detections(centers, headings, sizes, fg_probs, det_b,
+                           batch: dict, dataset, det_results: dict) -> int:
+    """Shared decode tail: vectorized KITTI-frame box decode, degenerate-size
+    filter (ref test_net_det.py:276-281), score = fg prob + 2D detector prob,
+    per-detection result-dict append. ``det_b`` indexes the batch's real
+    frustums; the per-detection arrays are already gathered to (D, ...).
+    Returns the number of accumulated detections."""
+    idxs = batch["_indices"]
     rgb_probs = np.asarray(
-        batch.get("rgb_prob", np.ones(len(cls_probs), np.float32))).reshape(-1)
+        batch.get("rgb_prob",
+                  np.ones(len(idxs), np.float32))).reshape(-1)
     rot_angles = np.asarray(batch["rot_angle"]).reshape(-1)
     ref_centers = batch.get("ref_center")
 
     boxes = from_prediction_to_label_format_batch(
-        out["centers"][det_b, det_m],
-        out["headings"][det_b, det_m],
-        out["sizes"][det_b, det_m],
-        rot_angles[det_b],
+        centers, headings, sizes, rot_angles[det_b],
         None if ref_centers is None else np.asarray(ref_centers)[det_b],
     )  # (D, 7) = h w l tx ty tz ry
-    scores = cls_probs[det_b, det_m, 1] + rgb_probs[det_b]
+    scores = fg_probs + rgb_probs[det_b]
 
-    # degenerate-size filter (ref test_net_det.py:276-281)
     ok = (boxes[:, 0] >= 0.01) & (boxes[:, 1] >= 0.01) & (boxes[:, 2] >= 0.01)
     det_b, boxes, scores = det_b[ok], boxes[ok], scores[ok]
 
@@ -186,6 +175,20 @@ def postprocess_batch(out: dict, batch: dict, dataset, method: str,
     return len(det_b)
 
 
+def postprocess_batch(out: dict, batch: dict, dataset, method: str,
+                      det_results: dict) -> int:
+    """Decode one full-decode device batch into detections (all-numpy)."""
+    real = int(batch["_real"])
+    cls_probs = out["cls_probs"]
+    det_b, det_m = select_foreground_batch(cls_probs, real, method)
+    if det_b.size == 0:
+        return 0
+    return _accumulate_detections(
+        out["centers"][det_b, det_m], out["headings"][det_b, det_m],
+        out["sizes"][det_b, det_m], cls_probs[det_b, det_m, 1],
+        det_b, batch, dataset, det_results)
+
+
 def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
                        dataset, det_results: dict, cap: int) -> tuple[int, bool]:
     """Decode one packed device batch into detections (all-numpy).
@@ -199,38 +202,15 @@ def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
     cnt = cnt[:real]
     if (cnt > cap).any():
         return 0, True
-    idxs = batch["_indices"][:real]
     slot = np.arange(packed.shape[1])
     det_b, det_s = np.nonzero(slot[None, :] < cnt[:, None])
     if det_b.size == 0:
         return 0, False
 
     rows = packed[det_b, det_s]  # (D, 8)
-    rgb_probs = np.asarray(
-        batch.get("rgb_prob", np.ones(len(packed), np.float32))).reshape(-1)
-    rot_angles = np.asarray(batch["rot_angle"]).reshape(-1)
-    ref_centers = batch.get("ref_center")
-
-    boxes = from_prediction_to_label_format_batch(
-        rows[:, 0:3], rows[:, 3], rows[:, 4:7], rot_angles[det_b],
-        None if ref_centers is None else np.asarray(ref_centers)[det_b],
-    )  # (D, 7) = h w l tx ty tz ry
-    scores = rows[:, 7] + rgb_probs[det_b]
-
-    # degenerate-size filter (ref test_net_det.py:276-281)
-    ok = (boxes[:, 0] >= 0.01) & (boxes[:, 1] >= 0.01) & (boxes[:, 2] >= 0.01)
-    det_b, boxes, scores = det_b[ok], boxes[ok], scores[ok]
-
-    ids = dataset.data["id"]
-    types = dataset.data["type"]
-    box2ds = dataset.data["box2d"]
-    for d in range(len(det_b)):
-        gi = int(idxs[det_b[d]])
-        b2 = box2ds[gi]
-        h, w, l, tx, ty, tz, ry = boxes[d]
-        det_results.setdefault(int(ids[gi]), {}).setdefault(types[gi], []).append(
-            [b2[0], b2[1], b2[2], b2[3], tx, ty, tz, h, w, l, ry, float(scores[d])])
-    return len(det_b), False
+    n = _accumulate_detections(rows[:, 0:3], rows[:, 3], rows[:, 4:7],
+                               rows[:, 7], det_b, batch, dataset, det_results)
+    return n, False
 
 
 def run_test(model, spec, state, dataset, batch_size: int, method: str,
@@ -250,6 +230,9 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
     from frustum_convnet_tpu.engine.loader import BatchLoader
 
     use_basis = hasattr(dataset, "ref_basis")
+    # top_k(k) requires k <= section count; small refine/sample ladders have
+    # L < the default cap (overflow re-runs keep semantics exact regardless)
+    fg_cap = min(fg_cap, spec.num_out)
     infer_group = build_infer_group_fn(
         model, spec, method, 1 if method != "nms" else fg_cap,
         z_grids=dataset.ref_depths() if use_basis else None)

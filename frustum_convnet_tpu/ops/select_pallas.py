@@ -14,15 +14,18 @@ the whole model — XLA's per-section ``top_k`` costs ~3 ms/scale/batch and the
 (batch row, section tile), entirely in VMEM:
 
   1. ``mask[m, n]`` — depth-window compare (VPU, (MT, Np) in one tile),
-  2. ``S[m, n]`` — inclusive running match count along n, via log2(Np)
-     masked lane-rolls (Hillis-Steele scan),
-  3. slot k's index = first n with ``S[m, n] == k + 1`` — binary lifting
-     over the monotone S row. Probes use ``tpu.dynamic_gather``, which only
-     shuffles within one 128-lane tile, so a probe is a composite gather:
-     static loop over the Np/128 tiles, within-tile gather by ``probe %
-     128``, one-hot select by ``probe // 128``.
+  2. ``S[m, n]`` — inclusive running match count along n, via ONE bf16 MXU
+     matmul against the upper-triangular ones matrix (exact: 0/1 products,
+     f32 accumulation, counts < 2^24),
+  3. slot k's index = first n with ``S[m, n] == k + 1`` — two-level binary
+     search over the monotone S row: a 128-lane coarse row (S at stride
+     Np/128) probed with single-tile ``tpu.dynamic_gather``s, then log2(
+     Np/128) composite probes (static loop over the Np/128 tiles,
+     within-tile gather by ``probe % 128``, select by ``probe // 128``),
   4. (fused variant) the same composite gather pulls each channel's value at
-     the selected indices and subtracts the section center from xyz.
+     the selected indices and subtracts the section center from xyz;
+     ``group_depth_point_multi`` runs EVERY scale of the model in one
+     launch via per-section dis_z/nsample planes.
 
 No sort, no searchsorted, no ordering assumption on the section ladder —
 padded refine ladders (duplicated tail sections) are handled exactly.
@@ -136,6 +139,26 @@ def _select_kernel(zp_ref, zr_ref, L_ref, idx_ref, cnt_ref, *, dis_z, nsample, n
     cnt_ref[0] = cnt[:, None]
 
 
+def _gather_grouped(chan_refs, idx, center, row_scratch, n_pow2):
+    """Gather every channel row at ``idx`` and center-subtract xyz.
+
+    Shared post-select body of the single- and multi-scale group kernels.
+    """
+    mt = idx.shape[0]
+    n_tiles = n_pow2 // _LANES
+    zeros = jnp.zeros((mt, n_pow2), jnp.float32)
+    parts = []
+    for c in range(len(chan_refs)):
+        # round-trip the broadcast row through VMEM scratch: Mosaic's
+        # dynamic_gather / lane-slice crash on replicated-layout operands
+        row_scratch[:] = zeros + chan_refs[c][0]
+        g = _gather_lanes(row_scratch[:], idx, n_tiles)  # (MT, Kpad)
+        if c < 3:
+            g = g - center[c]  # center-subtract xyz
+        parts.append(g)
+    return jnp.concatenate(parts, axis=1)  # (MT, C*Kpad)
+
+
 def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
     """Fused select + gather + center-subtract.
 
@@ -151,21 +174,8 @@ def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
     idx, cnt = _select_core(chan_refs[2][0], rz_ref[0], dis_z, nsample, n_pow2,
                             L_ref[:])
     cnt_ref[0] = cnt[:, None]
-
-    mt = idx.shape[0]
-    n_tiles = n_pow2 // _LANES
-    zeros = jnp.zeros((mt, n_pow2), jnp.float32)
-    center = (rx_ref[0], ry_ref[0], rz_ref[0])  # (MT, 1) each
-    parts = []
-    for c in range(n_channels):
-        # round-trip the broadcast row through VMEM scratch: Mosaic's
-        # dynamic_gather / lane-slice crash on replicated-layout operands
-        row_scratch[:] = zeros + chan_refs[c][0]
-        g = _gather_lanes(row_scratch[:], idx, n_tiles)  # (MT, Kpad)
-        if c < 3:
-            g = g - center[c]  # center-subtract xyz
-        parts.append(g)
-    grouped_ref[0] = jnp.concatenate(parts, axis=1)  # (MT, C*Kpad)
+    grouped_ref[0] = _gather_grouped(
+        chan_refs, idx, (rx_ref[0], ry_ref[0], rz_ref[0]), row_scratch, n_pow2)
 
 
 def _scan_matrix(n_pow2: int) -> jnp.ndarray:
@@ -321,19 +331,8 @@ def _group_multi_kernel(*refs, n_pow2, n_channels, k_pad):
                             ns_ref[0][:, 0], n_pow2, L_ref[:],
                             k_chunks=k_pad // _LANES)
     cnt_ref[0] = cnt[:, None]
-
-    mt = idx.shape[0]
-    n_tiles = n_pow2 // _LANES
-    zeros = jnp.zeros((mt, n_pow2), jnp.float32)
-    center = (rx_ref[0], ry_ref[0], rz_ref[0])  # (MT, 1) each
-    parts = []
-    for c in range(n_channels):
-        row_scratch[:] = zeros + chan_refs[c][0]
-        g = _gather_lanes(row_scratch[:], idx, n_tiles)  # (MT, k_pad)
-        if c < 3:
-            g = g - center[c]
-        parts.append(g)
-    grouped_ref[0] = jnp.concatenate(parts, axis=1)  # (MT, C*k_pad)
+    grouped_ref[0] = _gather_grouped(
+        chan_refs, idx, (rx_ref[0], ry_ref[0], rz_ref[0]), row_scratch, n_pow2)
 
 
 def group_depth_point_multi(points: jnp.ndarray, refs, dis_zs, nsamples,

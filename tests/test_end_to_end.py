@@ -211,3 +211,27 @@ def test_extend_from_det_end_to_end(workdir, monkeypatch):
     monkeypatch.setattr(train_mod, "cfg", config_mod.cfg, raising=True)
     train_mod.main(["--cfg", "cfgs/det_sample.yaml"] + overrides)
     assert os.path.exists(os.path.join(out_dir, "checkpoints", "model_final.msgpack"))
+
+
+def test_grouped_dispatch_small_ladder(workdir, monkeypatch):
+    """Regression: the grouped nms dispatch must clamp its fg cap to the
+    section count (top_k(k) with k > L is a trace-time error; the tiny
+    sample ladder has L=24 < the default cap of 64). TEST.BATCH_SIZE=1
+    forces >= `group` batches so `build_infer_group_fn` actually runs."""
+    import frustum_convnet_tpu.configs.config as config_mod
+    from frustum_convnet_tpu.engine import test as test_mod
+
+    out_dir = os.path.join(workdir["output_dir"], "small_ladder")
+    overrides = TINY_OVERRIDES + [
+        "DATA.DATA_ROOT", workdir["pickle_dir"],
+        "OUTPUT_DIR", out_dir,
+        "TEST.BATCH_SIZE", "1",
+        "TEST.METHOD", "nms",
+    ]
+    monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
+    monkeypatch.setattr(test_mod, "cfg", config_mod.cfg, raising=True)
+    gt_dir = os.path.join(workdir["kitti_root"], "training", "label_2")
+    idx_path = os.path.join(workdir["kitti_root"], "image_sets", "val.txt")
+    results = test_mod.main(["--cfg", "cfgs/det_sample.yaml", "--gt_dir",
+                             gt_dir, "--idx_path", idx_path] + overrides)
+    assert results is not None and "car" in results
