@@ -72,7 +72,9 @@ def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):
     ``dis_z`` may be a python float or a per-section (MT, 1) plane;
     ``nsample`` a python int or a per-section (MT,) plane (then ``k_chunks``
     — slot lanes / 128 — must be given statically). ``L`` is the
-    (Np, Np) upper-triangular-ones bf16 matrix driving the MXU scan.
+    (Np, Np + 128) bf16 matrix driving the MXU scan: upper-triangular ones
+    for the running count S, plus 128 block-end summary columns that yield
+    the coarse binary-search row in the SAME matmul (``_scan_matrix``).
     """
     mt = zr.shape[0]
     n_tiles = n_pow2 // _LANES
@@ -85,25 +87,26 @@ def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):
 
     # inclusive running match count along n, as ONE MXU matmul against the
     # upper-triangular ones matrix: S[m, j] = sum_n mask[m, n] * [n <= j].
-    # 0/1 bf16 products accumulated in f32 are exact (counts <= Np < 2^24),
-    # and the matmul is ~10x faster than a lane-roll Hillis-Steele scan
-    # (pltpu.roll across a 1024-lane row is the kernel's former hot spot).
-    s = jax.lax.dot_general(mask.astype(jnp.bfloat16), L,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                            ).astype(jnp.int32)
+    # int8 0/1 products accumulated in int32 are exact (counts <= Np), run
+    # at 2x the bf16 MXU rate on v5e, and the matmul is ~10x faster than a
+    # lane-roll Hillis-Steele scan (pltpu.roll across a 1024-lane row is
+    # the kernel's former hot spot).
+    s_full = jax.lax.dot_general(mask.astype(jnp.int8), L,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+    s = s_full[:, :n_pow2]
 
     cnt = jnp.minimum(s[:, n_pow2 - 1], nsample)  # (MT,)
 
     # slot k resolves to the first n with S[n] >= k + 1 (S increments
     # exactly at matches, so that n IS the (k+1)-th match). Two-level
-    # search: one composite gather builds a 128-lane coarse row (S at
-    # stride g = Np/128), binary-searched with cheap SINGLE-tile probes;
-    # the remaining log2(g) in-range steps use composite probes. This cuts
-    # composite (8-tile) gathers from 10 to log2(g) per chunk.
+    # search: the coarse 128-lane row (S at stride g = Np/128) falls out of
+    # the scan matmul's 128 summary columns for free, and is binary-searched
+    # with cheap SINGLE-tile probes; the remaining log2(g) in-range steps
+    # use composite probes. This cuts composite (8-tile) gathers from 10
+    # per chunk to log2(g), with none spent building the coarse row.
     g_stride = n_pow2 // _LANES
-    ar = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1)
-    coarse = _gather_lanes(s, ar * g_stride + g_stride - 1, n_tiles)
+    coarse = s_full[:, n_pow2:]
     idx_parts = []
     for kc in range(0, k_chunks * _LANES, _LANES):
         slot = jax.lax.broadcasted_iota(jnp.int32, (mt, _LANES), 1) + kc
@@ -179,11 +182,20 @@ def _group_kernel(*refs, dis_z, nsample, n_pow2, n_channels):
 
 
 def _scan_matrix(n_pow2: int) -> jnp.ndarray:
-    """(Np, Np) upper-triangular ones (incl. diagonal), bf16, for the MXU
-    scan. Passed as a kernel input with a constant block index, so Pallas
-    DMAs it once and reuses it across grid steps."""
+    """(Np, Np + 128) int8 scan matrix for the MXU running-count matmul.
+
+    Columns 0:Np are upper-triangular ones (incl. diagonal) producing the
+    inclusive running match count S; the last 128 columns are block-end
+    summaries ``[n <= l*g + g - 1]`` (g = Np/128) producing the coarse
+    binary-search row S[::g] in the same matmul — one composite gather
+    fewer per program. Passed as a kernel input with a constant block
+    index, so Pallas DMAs it once and reuses it across grid steps."""
     r = np.arange(n_pow2)
-    return jnp.asarray(r[:, None] <= r[None, :], jnp.bfloat16)
+    tri = r[:, None] <= r[None, :]
+    g = n_pow2 // _LANES
+    ends = np.arange(_LANES) * g + g - 1
+    coarse = r[:, None] <= ends[None, :]
+    return jnp.asarray(np.concatenate([tri, coarse], axis=1), jnp.int8)
 
 
 def _pad_inputs(z_points, z_ref, mt):
@@ -227,7 +239,7 @@ def query_depth_point_pallas(z_points: jnp.ndarray, z_ref: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mt, 1), lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+            pl.BlockSpec((n_pow2, n_pow2 + _LANES), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -286,7 +298,7 @@ def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
     tile_spec = pl.BlockSpec((1, mt, 1),
                              lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
                              memory_space=pltpu.VMEM)
-    L_spec = pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+    L_spec = pl.BlockSpec((n_pow2, n_pow2 + _LANES), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
     grouped, cnt = pl.pallas_call(
         kernel,
@@ -386,7 +398,7 @@ def group_depth_point_multi(points: jnp.ndarray, refs, dis_zs, nsamples,
     tile_spec = pl.BlockSpec((1, mt, 1),
                              lambda i, j, mts=m_tiles: (i * mts + j, 0, 0),
                              memory_space=pltpu.VMEM)
-    L_spec = pl.BlockSpec((n_pow2, n_pow2), lambda i, j: (0, 0),
+    L_spec = pl.BlockSpec((n_pow2, n_pow2 + _LANES), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
     grouped, cnt = pl.pallas_call(
         kernel,

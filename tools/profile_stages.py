@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-BATCH = 32
+BATCH = 32  # overridden by --batch
 ITERS = 30
 TRIALS = 3
 
@@ -49,9 +49,14 @@ def timeit(name, fn, *args):
 
 
 def main():
+    global BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args_cli = ap.parse_args()
+    BATCH = args_cli.batch
 
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
     from frustum_convnet_tpu.data.fixtures import make_batch
@@ -64,7 +69,8 @@ def main():
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args_cli.dtype]
+    model = FrustumConvNet(spec, dtype=dtype)
 
     batch = make_batch(spec, batch=BATCH, seed=0, with_labels=False)
     pts = jnp.asarray(batch["point_cloud"])
@@ -114,7 +120,7 @@ def main():
         for i in range(spec.num_scales):
             sub = PointNetScale(mlp=spec.mlps[i], dist=spec.height_half[i],
                                 nsample=spec.nsamples[i], use_feature=False,
-                                name=f"pointnet{i + 1}")
+                                dtype=dtype, name=f"pointnet{i + 1}")
             sub_vars = {"params": variables["params"][f"pointnet{i + 1}"],
                         "batch_stats": variables["batch_stats"][f"pointnet{i + 1}"]}
             grouped = (g0, groups[0][1]) if i == 0 else groups[i]
