@@ -19,6 +19,11 @@ is an estimated reference figure (batch 32 at ~50 ms/batch = 640 frustums/s)
 used to make ``vs_baseline`` meaningful; the BASELINE.json target is >=10x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Set ``BENCH_TRACE_DIR=/tmp/trace`` to additionally capture a ``jax.profiler``
+trace of one timed dispatch per batch size (inspect with xprof/tensorboard);
+the JSON contract is unchanged. ``tools/profile_stages.py`` gives the
+per-stage attribution without a trace viewer.
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ def main():
             return s
 
         jax.block_until_ready(bench_loop(pts))  # compile
+        trace_dir = os.environ.get("BENCH_TRACE_DIR")
+        if trace_dir:  # jax.profiler trace of one timed dispatch
+            with jax.profiler.trace(os.path.join(trace_dir, f"b{bsz}")):
+                jax.block_until_ready(bench_loop(pts))
         best = float("inf")
         for _ in range(TRIALS):
             t0 = time.perf_counter()

@@ -14,6 +14,8 @@ Coordinate frames:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -86,6 +88,23 @@ class Calibration:
         self.f_v = self.P[1, 1]
         self.b_x = self.P[0, 3] / (-self.f_u)
         self.b_y = self.P[1, 3] / (-self.f_v)
+
+    @classmethod
+    def from_video(cls, calib_dir: str) -> "Calibration":
+        """Build from a KITTI raw-video calib directory.
+
+        Reads ``calib_cam_to_cam.txt`` (R_rect_00, P_rect_02) and
+        ``calib_velo_to_cam.txt`` (R, T) — the video-calib convention of
+        `/root/reference/kitti/kitti_util.py:146-160`.
+        """
+        cam2cam = cls._read_calib_file(os.path.join(calib_dir, "calib_cam_to_cam.txt"))
+        velo2cam = cls._read_calib_file(os.path.join(calib_dir, "calib_velo_to_cam.txt"))
+        v2c = np.zeros((3, 4))
+        v2c[:3, :3] = np.asarray(velo2cam["R"]).reshape(3, 3)
+        v2c[:, 3] = np.asarray(velo2cam["T"]).reshape(3)
+        return cls({"P2": cam2cam["P_rect_02"],
+                    "Tr_velo_to_cam": v2c,
+                    "R0_rect": cam2cam["R_rect_00"]})
 
     @staticmethod
     def _read_calib_file(path: str) -> dict:

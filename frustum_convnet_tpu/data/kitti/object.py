@@ -47,3 +47,36 @@ class KittiObjectDataset:
 
         with Image.open(os.path.join(self.image_dir, f"{idx:06d}.png")) as im:
             return np.asarray(im)
+
+
+class KittiVideoDataset:
+    """Raw KITTI video sequence access (demo/visualization path).
+
+    Equivalent of `/root/reference/kitti/kitti_object.py:71-102`: sorted
+    frame images + velodyne sweeps from a raw-video dump, with ONE
+    sequence-level calibration read from the video calib directory
+    (``calib_cam_to_cam.txt`` + ``calib_velo_to_cam.txt``).
+    """
+
+    def __init__(self, img_dir: str, lidar_dir: str, calib_dir: str):
+        self.calib = Calibration.from_video(calib_dir)
+        self.img_filenames = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir))
+        self.lidar_filenames = sorted(
+            os.path.join(lidar_dir, f) for f in os.listdir(lidar_dir))
+        self.num_samples = len(self.img_filenames)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def get_image(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.img_filenames[idx]) as im:
+            return np.asarray(im)
+
+    def get_lidar(self, idx: int) -> np.ndarray:
+        return load_velo_scan(self.lidar_filenames[idx])
+
+    def get_calibration(self, idx: int = 0) -> Calibration:
+        return self.calib

@@ -132,3 +132,57 @@ def test_ref_basis_reconstructs_ladders(pickle_dir):
         for z, ref in zip(depths, item["refs"]):
             rebuilt = o[None, :] + z[:, None].astype(np.float32) * d[None, :]
             np.testing.assert_allclose(rebuilt, ref, atol=2e-4)
+
+
+def test_video_dataset_and_draw_util_viz(tmp_path):
+    """KittiVideoDataset (video calib convention) + draw_util-equivalent
+    visualizations run end-to-end on a synthetic raw dump
+    (ref kitti_object.py:71-102, draw_util.py:26-145)."""
+    import numpy as np
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+    from frustum_convnet_tpu.data.kitti.object import (KittiObjectDataset,
+                                                       KittiVideoDataset)
+    from frustum_convnet_tpu.utils import visualize as viz
+
+    root = str(tmp_path / "kitti")
+    make_synthetic_kitti(root, num_frames=2)
+    ds = KittiObjectDataset(root, "training")
+    calib = ds.get_calibration(0)
+
+    # raw-video layout: reuse the object-split files, video-format calib
+    vdir = tmp_path / "video"
+    (vdir / "img").mkdir(parents=True)
+    (vdir / "velo").mkdir()
+    for i in range(2):
+        img = ds.get_image(i)
+        from PIL import Image
+
+        Image.fromarray(img).save(vdir / "img" / f"{i:010d}.png")
+        ds.get_lidar(i).tofile(vdir / "velo" / f"{i:010d}.bin")
+    r0 = " ".join(str(v) for v in calib.R0.reshape(-1))
+    p2 = " ".join(str(v) for v in calib.P.reshape(-1))
+    rv = " ".join(str(v) for v in calib.V2C[:3, :3].reshape(-1))
+    tv = " ".join(str(v) for v in calib.V2C[:, 3].reshape(-1))
+    (vdir / "calib_cam_to_cam.txt").write_text(
+        f"R_rect_00: {r0}\nP_rect_02: {p2}\n")
+    (vdir / "calib_velo_to_cam.txt").write_text(f"R: {rv}\nT: {tv}\n")
+
+    vds = KittiVideoDataset(str(vdir / "img"), str(vdir / "velo"), str(vdir))
+    assert len(vds) == 2
+    vcal = vds.get_calibration()
+    np.testing.assert_allclose(vcal.P, calib.P)
+    np.testing.assert_allclose(vcal.V2C, calib.V2C)
+    np.testing.assert_allclose(vcal.R0, calib.R0)
+    img = vds.get_image(0)
+    pc = vds.get_lidar(0)
+    assert img.ndim == 3 and pc.shape[1] == 4
+
+    objects = ds.get_label_objects(0)
+    viz.show_image_with_boxes(img, objects, vcal,
+                              save_path=str(tmp_path / "boxes.png"))
+    viz.show_lidar_on_image(pc, img, vcal,
+                            save_path=str(tmp_path / "lidar.png"))
+    viz.show_lidar_with_boxes(pc, objects, vcal,
+                              save_path=str(tmp_path / "lidar3d.png"))
+    for f in ("boxes.png", "lidar.png", "lidar3d.png"):
+        assert (tmp_path / f).stat().st_size > 0

@@ -1,0 +1,93 @@
+"""Training-step timing of the flagship KITTI model on one TPU chip.
+
+Attributes the train-step budget (BENCH_NOTES.md "Training step" table):
+eval-mode forward, train-mode forward (BatchNorm batch statistics), full
+step (loss + grads + adam + sync-BN update) with and without the per-step
+rotated-IoU metric the reference also computes every step
+(`/root/reference/models/det_base.py:478-503`).
+
+Usage: python tools/profile_train.py [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = 20
+TRIALS = 3
+
+
+def bench(name, fn, *args, donate=False):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name:46s} {best * 1e3:8.3f} ms/step", flush=True)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+    from frustum_convnet_tpu.data.fixtures import make_batch
+    from frustum_convnet_tpu.models.net import FrustumConvNet
+    from frustum_convnet_tpu.models.registry import get_model_spec
+    from frustum_convnet_tpu.parallel.train_step import (
+        TrainStepConfig, build_eval_step, build_train_step, init_state,
+        make_optimizer)
+
+    cfg = get_default_cfg()
+    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
+                         "False", "TRAIN.BATCH_SIZE", str(args.batch)], cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec)
+    tcfg = TrainStepConfig()
+    tx = make_optimizer(tcfg)
+
+    batch_np = make_batch(spec, batch=args.batch, seed=0, with_labels=True)
+    batch = {k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, (list, tuple))
+                 else jnp.asarray(v)) for k, v in batch_np.items()}
+
+    state = init_state(model, tx, batch, seed=3)
+    jax.block_until_ready(state.params)
+
+    # eval-mode forward (inference graph, no BN stats)
+    eval_step = build_eval_step(model, spec, tcfg)
+    bench("eval forward + losses/metrics", eval_step, state, batch)
+
+    # full train step (donation off so the same state can be reused)
+    train_step = build_train_step(model, spec, tx, tcfg, donate=False)
+    st2, losses, metrics = train_step(state, batch)
+    jax.block_until_ready(losses)
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        cur = st2
+        for _ in range(ITERS):
+            cur, lo, me = train_step(cur, batch)
+        jax.block_until_ready(lo)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{'full train step (grads+adam+BN+metrics)':46s} {best * 1e3:8.3f} ms/step")
+    print(f"train throughput: {args.batch / best:.0f} frustums/s/chip "
+          f"(batch {args.batch})")
+
+
+if __name__ == "__main__":
+    main()
