@@ -1,0 +1,100 @@
+"""Data-parallel correctness: the 8-device SPMD step must match the
+single-device step exactly (same global batch, sync-BN global statistics,
+same gradients). This is the multichip analogue of the reference's implicit
+DataParallel contract (`/root/reference/train/train_net_det.py:308-309`):
+replication must not change the math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+from frustum_convnet_tpu.data.fixtures import make_batch
+from frustum_convnet_tpu.models.net import FrustumConvNet
+from frustum_convnet_tpu.models.registry import get_model_spec
+from frustum_convnet_tpu.parallel.mesh import make_mesh, shard_batch
+from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig,
+                                                     build_infer_step,
+                                                     build_train_step,
+                                                     init_state,
+                                                     make_optimizer)
+
+
+def _tiny_setup(batch=8):
+    cfg = get_default_cfg()
+    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
+                         "False", "DATA.NUM_SAMPLES", "128",
+                         "DATA.MAX_DEPTH", "16"], cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec)
+    tcfg = TrainStepConfig()
+    tx = make_optimizer(tcfg)
+    batch_np = make_batch(spec, batch=batch, seed=0, with_labels=True)
+    batch_j = {k: (tuple(jnp.asarray(x) for x in v)
+                   if isinstance(v, (list, tuple)) else jnp.asarray(v))
+               for k, v in batch_np.items()}
+    state = init_state(model, tx, batch_j, seed=3)
+    return spec, model, tcfg, tx, batch_j, state
+
+
+def _tree_max_diff(a, b):
+    leaves = jax.tree_util.tree_map(
+        lambda x, y: float(jnp.max(jnp.abs(x.astype(jnp.float32)
+                                           - y.astype(jnp.float32)))), a, b)
+    return max(jax.tree_util.tree_leaves(leaves) or [0.0])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_spmd_matches_single_device():
+    spec, model, tcfg, tx, batch, state = _tiny_setup(batch=8)
+    mesh = make_mesh()
+
+    step_1 = build_train_step(model, spec, tx, tcfg, mesh=None, donate=False)
+    step_n = build_train_step(model, spec, tx, tcfg, mesh=mesh, donate=False)
+
+    s1, losses1, metrics1 = step_1(state, batch)
+    sn, lossesn, metricsn = step_n(state, shard_batch(batch, mesh))
+
+    # tolerances absorb float reduction-order differences (psum over the
+    # mesh vs single-device row-major sums); the math is otherwise identical
+    assert _tree_max_diff(losses1, lossesn) < 2e-3, (losses1, lossesn)
+    assert _tree_max_diff(metrics1, metricsn) < 2e-3
+    # updated parameters agree (gradients reduced over the mesh == full-batch).
+    # adam's first step is ~±lr(1e-3) per param by gradient sign; a near-zero
+    # gradient whose sign flips under psum reduction order moves 2*lr, so the
+    # bound must sit just above 2e-3.
+    assert _tree_max_diff(s1.params, sn.params) < 2.5e-3
+    # sync-BN: batch statistics are global-batch on both paths
+    assert _tree_max_diff(s1.batch_stats, sn.batch_stats) < 2e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_infer_step_spmd_matches_single_device():
+    spec, model, tcfg, tx, batch, state = _tiny_setup(batch=8)
+    mesh = make_mesh()
+    infer_1 = build_infer_step(model, spec, mesh=None)
+    infer_n = build_infer_step(model, spec, mesh=mesh)
+    out1 = infer_1(state, batch)
+    outn = infer_n(state, shard_batch(batch, mesh))
+    assert _tree_max_diff(out1, outn) < 2e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_two_spmd_steps_stay_in_sync():
+    """Two successive sharded steps: state remains replicated-consistent and
+    losses stay finite (exercises donation-free state round-trip)."""
+    spec, model, tcfg, tx, batch, state = _tiny_setup(batch=8)
+    mesh = make_mesh()
+    step_n = build_train_step(model, spec, tx, tcfg, mesh=mesh, donate=False)
+    b = shard_batch(batch, mesh)
+    s, losses, _ = step_n(state, b)
+    s, losses2, _ = step_n(s, b)
+    # one adam step from random init need not reduce the loss, so assert the
+    # state round-trip itself: everything stays finite and the step advanced.
+    assert np.isfinite(float(losses["total_loss"]))
+    assert np.isfinite(float(losses2["total_loss"]))
+    for leaf in jax.tree_util.tree_leaves(s.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    assert int(s.step) == 2
