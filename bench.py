@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 REF_GPU_FRUSTUMS_PER_SEC = 640.0  # estimated reference GPU throughput (see above)
-BATCHES = (32, 256)  # reference batch + serving batch
+BATCHES = (32, 256, 1024)  # reference batch + serving batches (1024 ~ +2% over 256)
 ITERS = 50
 TRIALS = 3
 

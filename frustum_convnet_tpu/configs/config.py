@@ -124,6 +124,8 @@ def _build_default_cfg() -> AttrDict:
     # so the default keeps float32 numerics.
     C.TPU.INFER_DTYPE = "float32"
     C.TPU.PREFETCH = 2  # host pipeline prefetch depth
+    C.TPU.INFER_GROUP = 8  # batches per inference dispatch (engine/test.py)
+    C.TPU.INFER_INFLIGHT = 2  # queued device dispatches before host fetch
     C.TPU.DONATE = True  # donate train-state buffers to the jitted step
     return C
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -215,17 +216,19 @@ def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
 
 def run_test(model, spec, state, dataset, batch_size: int, method: str,
              logger, num_workers: int = 4, group: int = 8,
-             fg_cap: int = 64) -> dict:
+             fg_cap: int = 64, inflight: int = 2) -> dict:
     """Stream the dataset through the jitted graph; accumulate detections.
 
     Pipelined four ways: BatchLoader worker threads prepare batches ahead;
     G batches go to the device as ONE dispatch (`build_infer_group_fn` —
     per-dispatch latency dominates on relayed TPU setups); only compacted
     per-frustum selections come back (device->host bytes are the next
-    bottleneck); and the host post-processes group i while the device runs
-    group i+1. All per-detection math is vectorized numpy. End-to-end
-    streaming throughput is logged so the driver's frustums/sec is directly
-    comparable to bench.py.
+    bottleneck); and the host post-processes completed groups while up to
+    ``inflight`` dispatches are queued on the device (JAX dispatch is async;
+    a deeper queue hides round-trip latency on relayed setups). All
+    per-detection math is vectorized numpy. End-to-end streaming throughput
+    is logged so the driver's frustums/sec is directly comparable to
+    bench.py.
     """
     from frustum_convnet_tpu.engine.loader import BatchLoader
 
@@ -275,7 +278,7 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
             n_dets += nd
 
     t_start = time.time()
-    pending = None  # (device out, host batches)
+    pending: deque = deque()  # (device out, host batches), oldest first
     batches: list = []
     gi = 0
     for batch in loader.epoch(0):
@@ -293,16 +296,16 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
                            for i in range(spec.num_scales))
         out_dev = infer_group(state.params, state.batch_stats,
                               jnp.asarray(pts_g), jnp.asarray(oh_g), refs_g)
-        if pending is not None:
-            process_group(*pending)
-        pending = (out_dev, stack)
+        pending.append((out_dev, stack))
+        while len(pending) >= max(inflight, 1):
+            process_group(*pending.popleft())
         batches = []
         gi += 1
         if gi % 10 == 0:
             rate = gi * group * batch_size / (time.time() - t_start)
             logger.info(f"group {gi}/{num_groups}  {rate:.0f} frustums/s e2e")
-    if pending is not None:
-        process_group(*pending)
+    while pending:
+        process_group(*pending.popleft())
     # final partial group: per-batch full path (one-off, off the hot loop)
     for batch in batches:
         n_dets += full_path(batch)
@@ -392,7 +395,9 @@ def main(argv=None):
 
     state = load_state_for_test(model, spec, cfg, dataset, logger)
     det_results = run_test(model, spec, state, dataset, cfg.TEST.BATCH_SIZE,
-                           cfg.TEST.METHOD, logger)
+                           cfg.TEST.METHOD, logger,
+                           group=cfg.TPU.INFER_GROUP,
+                           inflight=cfg.TPU.INFER_INFLIGHT)
 
     split_ids = []
     if args.idx_path and os.path.exists(args.idx_path):
