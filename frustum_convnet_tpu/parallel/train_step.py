@@ -45,6 +45,10 @@ class TrainStepConfig:
         default_factory=lambda: {"box": 1.0, "corner": 10.0, "head_res": 20.0, "size_res": 20.0}
     )
     iou_thresh: float = 0.7
+    # the reference computes the rotated-IoU monitoring metric every step
+    # (`det_base.py:478-503`); False drops it from the compiled step for
+    # metric-free throughput (losses still returned)
+    compute_metrics: bool = True
 
 
 def multistep_lr(cfg: TrainStepConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -127,6 +131,7 @@ def _train_core(model: FrustumConvNet, spec: DetModelSpec,
             losses, metrics = compute_losses(
                 spec, cls_logits, reg, batch["refs"][1], labels,
                 cfg.loss_weights, cfg.iou_thresh,
+                compute_metrics=cfg.compute_metrics,
             )
             return losses["total_loss"], (losses, metrics, new_vars["batch_stats"])
 

@@ -72,6 +72,41 @@ def main():
     eval_step = build_eval_step(model, spec, tcfg)
     bench("eval forward + losses/metrics", eval_step, state, batch)
 
+    # train-mode forward + loss, no grad (BN batch statistics, metrics on)
+    @jax.jit
+    def fwd_train(state, batch):
+        from frustum_convnet_tpu.models.det import compute_losses
+        (cls_logits, reg), _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["point_cloud"], batch["one_hot"], list(batch["refs"]),
+            train=True, mutable=["batch_stats"])
+        labels = {k: batch[k] for k in ("cls_label", "box3d_center",
+                                        "box3d_heading", "box3d_size",
+                                        "size_class")}
+        losses, metrics = compute_losses(
+            spec, cls_logits, reg, batch["refs"][1], labels,
+            tcfg.loss_weights, tcfg.iou_thresh)
+        return losses["total_loss"]
+
+    bench("train-mode fwd + loss + metrics (no grad)", fwd_train, state, batch)
+
+    # full step without the per-step IoU metric
+    import dataclasses as _dc
+    train_step_nm = build_train_step(
+        model, spec, tx, _dc.replace(tcfg, compute_metrics=False),
+        donate=False)
+    st_nm, lo_nm, _ = train_step_nm(state, batch)
+    jax.block_until_ready(lo_nm)
+    best_nm = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        cur = st_nm
+        for _ in range(ITERS):
+            cur, lo, _ = train_step_nm(cur, batch)
+        jax.block_until_ready(lo)
+        best_nm = min(best_nm, (time.perf_counter() - t0) / ITERS)
+    print(f"{'full train step (metrics OFF)':46s} {best_nm * 1e3:8.3f} ms/step")
+
     # full train step (donation off so the same state can be reused)
     train_step = build_train_step(model, spec, tx, tcfg, donate=False)
     st2, losses, metrics = train_step(state, batch)
@@ -86,6 +121,61 @@ def main():
         best = min(best, (time.perf_counter() - t0) / ITERS)
     print(f"{'full train step (grads+adam+BN+metrics)':46s} {best * 1e3:8.3f} ms/step")
     print(f"train throughput: {args.batch / best:.0f} frustums/s/chip "
+          f"(batch {args.batch})")
+
+    # scan-chained measurements: the batch loop runs ON DEVICE with a real
+    # state dependency between iterations, so per-dispatch relay latency and
+    # queueing artifacts cannot skew the per-step time (same methodology as
+    # bench.py; the per-dispatch numbers above can read low when the relay
+    # pipelines identical dispatches)
+    from jax import lax
+    from frustum_convnet_tpu.models.det import compute_losses
+    from frustum_convnet_tpu.parallel.train_step import _train_core
+
+    def fwd_loss(params, stats, pts):
+        (cl, rg), _ = model.apply(
+            {"params": params, "batch_stats": stats},
+            pts, batch["one_hot"], list(batch["refs"]),
+            train=True, mutable=["batch_stats"])
+        labels = {k: batch[k] for k in ("cls_label", "box3d_center",
+                                        "box3d_heading", "box3d_size",
+                                        "size_class")}
+        losses, _ = compute_losses(
+            spec, cl, rg, batch["refs"][1], labels, tcfg.loss_weights,
+            tcfg.iou_thresh, compute_metrics=False)
+        return losses["total_loss"]
+
+    @jax.jit
+    def fwd_scan(state):
+        def body(c, _):
+            return fwd_loss(state.params, state.batch_stats,
+                            batch["point_cloud"] + c * 1e-20), ()
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return s
+
+    core = _train_core(model, spec, tx, tcfg)
+
+    @jax.jit
+    def step_scan(state):
+        def body(s, _):
+            s2, losses, _ = core(s, batch)
+            return s2, losses["total_loss"]
+        _, ls = lax.scan(body, state, None, length=ITERS)
+        return ls[-1]
+
+    def bench_scan(name, fn, arg):
+        jax.block_until_ready(fn(arg))
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(arg))
+            best = min(best, (time.perf_counter() - t0) / ITERS)
+        print(f"{name:46s} {best * 1e3:8.3f} ms/step")
+        return best
+
+    bench_scan("scan: train-mode fwd + loss (no grad)", fwd_scan, state)
+    best = bench_scan("scan: full train step", step_scan, state)
+    print(f"scan train throughput: {args.batch / best:.0f} frustums/s/chip "
           f"(batch {args.batch})")
 
 
