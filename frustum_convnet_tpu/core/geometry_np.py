@@ -22,10 +22,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def rotx(t: float) -> np.ndarray:
+    """Rotation about the x axis (ref `kitti_util.py:241-248`)."""
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
 def roty(t: float) -> np.ndarray:
     """Rotation about the y (vertical, pointing down) axis."""
     c, s = np.cos(t), np.sin(t)
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def rotz(t: float) -> np.ndarray:
+    """Rotation about the z axis (ref `kitti_util.py:259-266`)."""
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
 
 
 def rotate_pc_along_y(pc: np.ndarray, rot_angle: float) -> np.ndarray:

@@ -168,3 +168,7 @@ class Calibration:
         x = (uv_depth[:, 0] - self.c_u) * uv_depth[:, 2] / self.f_u + self.b_x
         y = (uv_depth[:, 1] - self.c_v) * uv_depth[:, 2] / self.f_v + self.b_y
         return np.stack([x, y, uv_depth[:, 2]], axis=1)
+
+    def image_to_velo(self, uv_depth: np.ndarray) -> np.ndarray:
+        """(u, v, rect-depth) -> velodyne xyz (ref `kitti_util.py:236-238`)."""
+        return self.rect_to_velo(self.image_to_rect(uv_depth))

@@ -91,6 +91,24 @@ def draw_projected_box3d(ax, corners_2d: np.ndarray, color="lime", linewidth=1.5
                 color=color, linewidth=linewidth)
 
 
+def compute_orientation_3d(obj, calib):
+    """Heading-vector endpoints of an object, in rect 3D and image 2D.
+
+    Equivalent of `/root/reference/kitti/kitti_util.py:362-389`: the segment
+    from the box center to center + l along the heading direction, rotated by
+    ry and translated to ``obj.t``. Returns ``(orientation_2d, orientation_3d)``
+    with orientation_2d ``None`` when either endpoint sits behind the image
+    plane (z < 0.1).
+    """
+    from frustum_convnet_tpu.core.geometry_np import roty
+
+    ends = np.array([[0.0, 0.0, 0.0], [obj.l, 0.0, 0.0]])  # (2, 3)
+    ori3d = ends @ roty(obj.ry).T + np.asarray(obj.t)
+    if np.any(ori3d[:, 2] < 0.1):
+        return None, ori3d
+    return calib.rect_to_image(ori3d), ori3d
+
+
 def show_image_with_boxes(img: np.ndarray, objects, calib,
                           save_path: str | None = None):
     """2D + projected-3D GT boxes over an image.

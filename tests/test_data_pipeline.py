@@ -186,3 +186,65 @@ def test_video_dataset_and_draw_util_viz(tmp_path):
                               save_path=str(tmp_path / "lidar3d.png"))
     for f in ("boxes.png", "lidar.png", "lidar3d.png"):
         assert (tmp_path / f).stat().st_size > 0
+
+
+def test_calib_image_to_velo_roundtrip(tmp_path):
+    """image_to_velo inverts velo_to_image at the projected depth
+    (ref kitti_util.py:236-238). The reference back-projection formula
+    ignores P[2,3], so the roundtrip is exact only for a pure-pinhole P;
+    the synthetic calib (nonzero P[2,3], like real KITTI) stays within the
+    same centimeter-scale approximation the reference accepts."""
+    import numpy as np
+    from frustum_convnet_tpu.data.kitti.calib import Calibration
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+    from frustum_convnet_tpu.data.kitti.object import KittiObjectDataset
+
+    root = str(tmp_path / "kitti")
+    make_synthetic_kitti(root, num_frames=1)
+    calib = KittiObjectDataset(root, "training").get_calibration(0)
+
+    pinhole = calib.as_dict()
+    P = pinhole["P2"].copy()
+    P[2, 3] = 0.0
+    pinhole["P2"] = P
+    exact = Calibration(pinhole)
+
+    rng = np.random.default_rng(0)
+    velo = rng.uniform([5, -10, -2], [40, 10, 2], size=(64, 3))
+    for cal, tol in ((exact, 1e-5), (calib, 0.15)):  # float32 calib arrays
+        rect = cal.velo_to_rect(velo)
+        uv = cal.velo_to_image(velo)
+        uv_depth = np.concatenate([uv, rect[:, 2:3]], axis=1)
+        back = cal.image_to_velo(uv_depth)
+        np.testing.assert_allclose(back, velo, rtol=0, atol=tol)
+
+
+def test_rotation_helpers_and_orientation_3d(tmp_path):
+    """rotx/rotz are proper rotations; compute_orientation_3d endpoints are
+    center and center + l*heading (ref kitti_util.py:241-266,362-389)."""
+    import numpy as np
+    from frustum_convnet_tpu.core.geometry_np import rotx, roty, rotz
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+    from frustum_convnet_tpu.data.kitti.object import KittiObjectDataset
+    from frustum_convnet_tpu.utils.visualize import compute_orientation_3d
+
+    for rot in (rotx(0.3), roty(-1.1), rotz(2.0)):
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-12)
+        assert np.isclose(np.linalg.det(rot), 1.0)
+    # rotz rotates x toward y for positive angles
+    np.testing.assert_allclose(rotz(np.pi / 2) @ [1, 0, 0], [0, 1, 0],
+                               atol=1e-12)
+
+    root = str(tmp_path / "kitti")
+    make_synthetic_kitti(root, num_frames=1)
+    ds = KittiObjectDataset(root, "training")
+    calib = ds.get_calibration(0)
+    obj = ds.get_label_objects(0)[0]
+
+    ori2d, ori3d = compute_orientation_3d(obj, calib)
+    np.testing.assert_allclose(ori3d[0], obj.t, atol=1e-12)
+    head = np.array([np.cos(obj.ry) * obj.l, 0.0, -np.sin(obj.ry) * obj.l])
+    np.testing.assert_allclose(ori3d[1] - ori3d[0], head, atol=1e-9)
+    if np.all(ori3d[:, 2] >= 0.1):
+        assert ori2d is not None and ori2d.shape == (2, 2)
+        np.testing.assert_allclose(ori2d, calib.rect_to_image(ori3d))
