@@ -369,8 +369,37 @@ def evaluate(gt_dir: str, result_dir: str, classes=("car",),
             with open(stats_path, "w") as f:
                 for prec in curves:
                     f.write(" ".join(f"{p:.6f}" for p in prec) + "\n")
+            _plot_pr_curves(result_dir, cls, name, curves)
             print(f"{cls}_{name} AP: {aps[0]:.6f} {aps[1]:.6f} {aps[2]:.6f}")
     return results
+
+
+def _plot_pr_curves(result_dir: str, cls: str, metric_name: str,
+                    curves) -> None:
+    """Precision/recall plot per class-metric under ``result_dir/plot/``
+    (the reference binary emits the same three-difficulty plot via gnuplot,
+    `evaluate_object_3d_offline.cpp` saveAndPlotPlots; matplotlib PNG here).
+    Silently skipped when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    plot_dir = os.path.join(result_dir, "plot")
+    os.makedirs(plot_dir, exist_ok=True)
+    recall = np.linspace(0.0, 1.0, len(curves[0]))
+    fig, ax = plt.subplots()
+    for prec, label in zip(curves, ("Easy", "Moderate", "Hard")):
+        ax.plot(recall, prec, lw=2, label=label)
+    ax.set_xlim(0.0, 1.0)
+    ax.set_ylim(0.0, 1.0)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_title(f"{cls} {metric_name}")
+    ax.legend(loc="lower left")
+    fig.savefig(os.path.join(plot_dir, f"{cls}_{metric_name}.png"))
+    plt.close(fig)
 
 
 def main(argv=None):

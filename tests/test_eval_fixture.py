@@ -105,6 +105,11 @@ def test_python_evaluator_matches_hand_trace(fixture_dirs):
     for metric in ("detection", "detection_ground", "detection_3d", "aos"):
         np.testing.assert_allclose(out["car"][metric], [EXPECTED_AP] * 3,
                                    atol=1e-6, err_msg=metric)
+    # PR artifacts: stats curves + plots (ref binary behavior)
+    for name in ("detection", "detection_ground", "detection_3d"):
+        assert os.path.exists(os.path.join(res_dir, f"stats_car_{name}.txt"))
+        plot = os.path.join(res_dir, "plot", f"car_{name}.png")
+        assert os.path.exists(plot) and os.path.getsize(plot) > 0
 
 
 def test_native_evaluator_matches_hand_trace(fixture_dirs):
