@@ -5,6 +5,8 @@ DataParallel contract (`/root/reference/train/train_net_det.py:308-309`):
 replication must not change the math.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,3 +100,31 @@ def test_two_spmd_steps_stay_in_sync():
     for leaf in jax.tree_util.tree_leaves(s.params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
     assert int(s.step) == 2
+
+
+@pytest.mark.parametrize("n", [32])
+def test_dryrun_multichip_scales_beyond_eight(n):
+    """The SPMD train step compiles + executes on wider data-parallel meshes
+    (pod-slice shapes), via dryrun_multichip's self-provisioned virtual CPU
+    platform. Guards against 8-device-only assumptions in mesh/sharding
+    construction."""
+    import subprocess
+    import sys
+
+    import frustum_convnet_tpu
+    root = os.path.dirname(os.path.dirname(
+        os.path.abspath(frustum_convnet_tpu.__file__)))
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count={n}"])
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "__graft_entry__.py"),
+         "multichip", str(n)],
+        env=env, cwd=root, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"dryrun_multichip({n})" in proc.stdout
+    assert "total_loss=" in proc.stdout
