@@ -45,10 +45,58 @@ ITERS = 50
 TRIALS = 3
 
 
-def main():
-    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+def scan_bench_infer(model, spec, bsz: int, iters: int = ITERS,
+                     trials: int = TRIALS, trace_tag: str | None = None) -> float:
+    """Frustums/sec of one jitted forward+decode at batch ``bsz``.
+
+    Shared measurement harness (also used by tools/bench_models.py): the
+    batch loop runs on device via ``lax.scan`` with a carry*1e-20 data
+    dependency chaining iterations so none can be elided or overlapped;
+    returns best-of-``trials`` dispatches. Set ``BENCH_TRACE_DIR`` (with a
+    ``trace_tag``) to capture a jax.profiler trace of one timed dispatch.
+    """
     from frustum_convnet_tpu.data.fixtures import make_batch
     from frustum_convnet_tpu.models.det import decode_outputs
+
+    batch = make_batch(spec, batch=bsz, seed=0, with_labels=False)
+    pts = jnp.asarray(batch["point_cloud"])
+    one_hot = jnp.asarray(batch["one_hot"])
+    refs = tuple(jnp.asarray(r) for r in batch["refs"])
+
+    variables = jax.jit(
+        lambda p, o, r: model.init(jax.random.PRNGKey(3), p, o, list(r), train=False)
+    )(pts[:2], one_hot[:2], tuple(r[:2] for r in refs))
+
+    def one(pts_in):
+        cls_logits, reg = model.apply(variables, pts_in, one_hot, list(refs), train=False)
+        out = decode_outputs(spec, cls_logits, reg, refs[1])
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+
+    @jax.jit
+    def bench_loop(pts):
+        def body(carry, _):
+            # carry*1e-20 chains iterations without changing the math
+            return one(pts + carry * 1e-20), ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return s
+
+    jax.block_until_ready(bench_loop(pts))  # compile
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir and trace_tag:  # jax.profiler trace of one timed dispatch
+        with jax.profiler.trace(os.path.join(trace_dir, trace_tag)):
+            jax.block_until_ready(bench_loop(pts))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        s = bench_loop(pts)
+        float(s)  # host fetch fences the dispatch
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return bsz / best
+
+
+def main():
+    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
     from frustum_convnet_tpu.models.net import FrustumConvNet
     from frustum_convnet_tpu.models.registry import get_model_spec
 
@@ -61,41 +109,7 @@ def main():
 
     per_batch = {}
     for bsz in BATCHES:
-        batch = make_batch(spec, batch=bsz, seed=0, with_labels=False)
-        pts = jnp.asarray(batch["point_cloud"])
-        one_hot = jnp.asarray(batch["one_hot"])
-        refs = tuple(jnp.asarray(r) for r in batch["refs"])
-
-        variables = jax.jit(
-            lambda p, o, r: model.init(jax.random.PRNGKey(3), p, o, list(r), train=False)
-        )(pts[:2], one_hot[:2], tuple(r[:2] for r in refs))
-
-        def one(pts_in, one_hot=one_hot, refs=refs, variables=variables):
-            cls_logits, reg = model.apply(variables, pts_in, one_hot, list(refs), train=False)
-            out = decode_outputs(spec, cls_logits, reg, refs[1])
-            return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
-
-        @jax.jit
-        def bench_loop(pts):
-            def body(carry, _):
-                # carry*1e-20 chains iterations without changing the math
-                return one(pts + carry * 1e-20), ()
-
-            s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
-            return s
-
-        jax.block_until_ready(bench_loop(pts))  # compile
-        trace_dir = os.environ.get("BENCH_TRACE_DIR")
-        if trace_dir:  # jax.profiler trace of one timed dispatch
-            with jax.profiler.trace(os.path.join(trace_dir, f"b{bsz}")):
-                jax.block_until_ready(bench_loop(pts))
-        best = float("inf")
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            s = bench_loop(pts)
-            float(s)  # host fetch fences the dispatch
-            best = min(best, (time.perf_counter() - t0) / ITERS)
-        per_batch[bsz] = bsz / best
+        per_batch[bsz] = scan_bench_infer(model, spec, bsz, trace_tag=f"b{bsz}")
 
     best_bsz = max(per_batch, key=per_batch.get)
     frustums_per_sec = per_batch[best_bsz]

@@ -57,10 +57,13 @@ def make_batch(spec: DetModelSpec, batch: int, seed: int = 0,
     size_cls = rng.integers(0, spec.num_sizes, batch)
     cls_labels = np.zeros((batch, spec.num_out), np.int64)
 
+    # refine specs ladder a fixed span (not [0, max_depth)); keep fixture
+    # boxes and clutter inside whatever the sections actually cover
+    span = spec.ref_span if spec.ref_span is not None else spec.max_depth
     for b in range(batch):
         mean = spec.mean_size_array[size_cls[b]]
         size = mean * rng.uniform(0.85, 1.15, 3)
-        depth = rng.uniform(spec.max_depth * 0.1, spec.max_depth * 0.8)
+        depth = rng.uniform(span * 0.1, span * 0.8)
         center = np.array([rng.uniform(-1, 1), rng.uniform(-0.5, 0.5), depth], np.float32)
         heading = rng.uniform(-np.pi, np.pi)
 
@@ -70,7 +73,7 @@ def make_batch(spec: DetModelSpec, batch: int, seed: int = 0,
         R = gnp.roty(heading)
         fg_pts = local @ R.T + center[None]
         bg = rng.uniform(
-            [-3, -2, 0], [3, 2, spec.max_depth], (n - n_fg, 3)
+            [-3, -2, 0], [3, 2, span], (n - n_fg, 3)
         )
         xyz = np.concatenate([fg_pts, bg], 0)
         perm = rng.permutation(n)

@@ -105,26 +105,20 @@ def test_two_spmd_steps_stay_in_sync():
 @pytest.mark.parametrize("n", [32])
 def test_dryrun_multichip_scales_beyond_eight(n):
     """The SPMD train step compiles + executes on wider data-parallel meshes
-    (pod-slice shapes), via dryrun_multichip's self-provisioned virtual CPU
-    platform. Guards against 8-device-only assumptions in mesh/sharding
-    construction."""
+    (pod-slice shapes). The child inherits this suite's 8-device CPU env, so
+    ``dryrun_multichip(32)`` exercises its own self-provision branch
+    (`__graft_entry__.py`: re-spawn with a 32-device virtual platform) —
+    guarding both the bootstrap and any 8-device-only sharding assumptions."""
     import subprocess
     import sys
 
     import frustum_convnet_tpu
     root = os.path.dirname(os.path.dirname(
         os.path.abspath(frustum_convnet_tpu.__file__)))
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform_device_count" not in f]
-    env["XLA_FLAGS"] = " ".join(
-        flags + [f"--xla_force_host_platform_device_count={n}"])
     proc = subprocess.run(
         [sys.executable, os.path.join(root, "__graft_entry__.py"),
          "multichip", str(n)],
-        env=env, cwd=root, capture_output=True, text=True, timeout=600)
+        cwd=root, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert f"dryrun_multichip({n})" in proc.stdout
     assert "total_loss=" in proc.stdout
