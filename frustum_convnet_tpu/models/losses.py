@@ -38,12 +38,16 @@ def softmax_focal_loss_masked(probs: jnp.ndarray, labels: jnp.ndarray,
     positive labels (+eps), *not* the number of kept rows.
     """
     keep = labels != ignore_value
-    num_fg = jnp.sum(labels > 0).astype(probs.dtype)
+    # clamp to >=1 like every other fg-normalized loss (det.py): a batch
+    # with zero foreground sections must not blow the loss up to ~1e14
+    # (the reference instead asserts fg exists, `det_base.py:414-416`;
+    # dense-masked training keeps going with the background focal terms)
+    num_fg = jnp.maximum(jnp.sum(labels > 0).astype(probs.dtype), 1.0)
     safe_labels = jnp.clip(labels, 0, probs.shape[-1] - 1)
     p_t = jnp.take_along_axis(probs, safe_labels[:, None], axis=-1)[:, 0]
     alpha_t = jnp.where(safe_labels >= 1, alpha, 1.0 - alpha)
     loss = -alpha_t * (1.0 - p_t) ** gamma * jnp.log(p_t + 1e-14)
-    return jnp.sum(jnp.where(keep, loss, 0.0)) / (num_fg + 1e-14)
+    return jnp.sum(jnp.where(keep, loss, 0.0)) / num_fg
 
 
 def cross_entropy_masked(logits: jnp.ndarray, labels: jnp.ndarray,

@@ -169,8 +169,11 @@ class FrustumConvNet(nn.Module):
                 dtype=self.dtype,
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train, grouped=groups[i])
-            # append one-hot class vector at every section
-            oh = jnp.broadcast_to(one_hot[:, None, :], (f.shape[0], f.shape[1], one_hot.shape[-1]))
+            # append one-hot class vector at every section; cast to the
+            # compute dtype first or the concat promotes the whole feature
+            # map back to float32 under a bfloat16 trunk
+            oh = jnp.broadcast_to(one_hot.astype(f.dtype)[:, None, :],
+                                  (f.shape[0], f.shape[1], one_hot.shape[-1]))
             scale_feats.append(jnp.concatenate([f, oh], axis=-1))
 
         # --- 1D conv encoder-decoder (ref ConvFeatNet, det_base.py:163-224)

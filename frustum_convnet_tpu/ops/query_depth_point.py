@@ -17,7 +17,8 @@ own (unique, ascending) positions, the top-k result *is* the
 order-preserving prefix of matches — bit-identical to the CUDA scan. The
 production TPU path is the Pallas kernel in
 ``frustum_convnet_tpu/ops/select_pallas.py`` (~6x faster; same outputs),
-dispatched via ``select_pallas.query_depth_point_auto``.
+dispatched via ``select_pallas.group_depth_point_auto`` /
+``group_depth_point_multi_auto`` (the model entry points).
 
 Gather indices (not masked features) are what the reference feeds BatchNorm,
 so downstream statistics see the same duplicated points; we reproduce that
@@ -55,8 +56,9 @@ def query_depth_point(z_points: jnp.ndarray, z_ref: jnp.ndarray, dis_z: float,
     has_match = cnt[..., None] > 0
     first_hit = jnp.where(has_match, sel[..., :1], 0)
     slot = jnp.arange(nsample, dtype=jnp.int32)
+    # cnt == 0 makes every slot take first_hit, which has_match already
+    # forced to 0 — no extra masking needed
     idx = jnp.where(slot < cnt[..., None], sel, first_hit)
-    idx = jnp.where(has_match, idx, 0)
     return idx, cnt
 
 

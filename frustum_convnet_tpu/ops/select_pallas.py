@@ -14,9 +14,9 @@ the whole model — XLA's per-section ``top_k`` costs ~3 ms/scale/batch and the
 (batch row, section tile), entirely in VMEM:
 
   1. ``mask[m, n]`` — depth-window compare (VPU, (MT, Np) in one tile),
-  2. ``S[m, n]`` — inclusive running match count along n, via ONE bf16 MXU
+  2. ``S[m, n]`` — inclusive running match count along n, via ONE int8 MXU
      matmul against the upper-triangular ones matrix (exact: 0/1 products,
-     f32 accumulation, counts < 2^24),
+     int32 accumulation, counts <= Np),
   3. slot k's index = first n with ``S[m, n] == k + 1`` — two-level binary
      search over the monotone S row: a 128-lane coarse row (S at stride
      Np/128) probed with single-tile ``tpu.dynamic_gather``s, then log2(
@@ -72,9 +72,10 @@ def _select_core(zp, zr, dis_z, nsample, n_pow2, L, k_chunks=None):
     ``dis_z`` may be a python float or a per-section (MT, 1) plane;
     ``nsample`` a python int or a per-section (MT,) plane (then ``k_chunks``
     — slot lanes / 128 — must be given statically). ``L`` is the
-    (Np, Np + 128) bf16 matrix driving the MXU scan: upper-triangular ones
-    for the running count S, plus 128 block-end summary columns that yield
-    the coarse binary-search row in the SAME matmul (``_scan_matrix``).
+    (Np, Np + 128) int8 matrix driving the MXU scan (int32 accumulation —
+    exact, counts <= Np, 2x the bf16 MXU rate on v5e): upper-triangular
+    ones for the running count S, plus 128 block-end summary columns that
+    yield the coarse binary-search row in the SAME matmul (``_scan_matrix``).
     """
     mt = zr.shape[0]
     n_tiles = n_pow2 // _LANES
@@ -211,6 +212,32 @@ def _pad_inputs(z_points, z_ref, mt):
     return zp, zr, n_pow2, m_pad
 
 
+def _prep_group_inputs(points, ref, mt):
+    """Channel rows + section-center planes for the grouping kernels.
+
+    Shared by the single- and multi-scale wrappers: one (B, 1, Np) input per
+    point channel (channel 2 carries the +inf z padding) and three
+    (B*m_tiles, MT, 1) section-center coordinate planes — the z plane is
+    ``zr`` (it carries the -inf section padding and doubles as the query).
+    """
+    b, n, c = points.shape
+    zp, zr, n_pow2, m_pad = _pad_inputs(points[..., 2], ref[..., 2], mt)
+    m_tiles = (ref.shape[1] + m_pad) // mt
+
+    chans = []
+    for ci in range(c):
+        if ci == 2:
+            chans.append(zp.reshape(b, 1, n_pow2))
+        else:
+            chans.append(jnp.pad(points[..., ci], ((0, 0), (0, n_pow2 - n)))
+                         .reshape(b, 1, n_pow2))
+    ref_pad = jnp.pad(ref.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)))
+    coords = [ref_pad[..., 0].reshape(b * m_tiles, mt, 1),
+              ref_pad[..., 1].reshape(b * m_tiles, mt, 1),
+              zr.reshape(b * m_tiles, mt, 1)]
+    return chans, coords, n_pow2, m_pad, m_tiles
+
+
 def query_depth_point_pallas(z_points: jnp.ndarray, z_ref: jnp.ndarray,
                              dis_z: float, nsample: int,
                              interpret: bool = False,
@@ -274,23 +301,7 @@ def group_depth_point_pallas(points: jnp.ndarray, ref: jnp.ndarray,
     b, n, c = points.shape
     m = ref.shape[1]
     mt = m_tile
-    zp, zr, n_pow2, m_pad = _pad_inputs(points[..., 2], ref[..., 2], mt)
-    m_tiles = (m + m_pad) // mt
-
-    # one (B, 1, Np) input per channel; channel 2 carries the +inf z padding
-    chans = []
-    for ci in range(c):
-        if ci == 2:
-            chans.append(zp.reshape(b, 1, n_pow2))
-        else:
-            chans.append(jnp.pad(points[..., ci], ((0, 0), (0, n_pow2 - n)))
-                         .reshape(b, 1, n_pow2))
-    # section centers as three (B*m_tiles, MT, 1) coordinate planes; the z
-    # plane is `zr` (it carries the -inf padding and doubles as the query)
-    ref_pad = jnp.pad(ref.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)))
-    coords = [ref_pad[..., 0].reshape(b * m_tiles, mt, 1),
-              ref_pad[..., 1].reshape(b * m_tiles, mt, 1),
-              zr.reshape(b * m_tiles, mt, 1)]
+    chans, coords, n_pow2, m_pad, m_tiles = _prep_group_inputs(points, ref, mt)
 
     k_pad = -nsample % _LANES + nsample
     kernel = functools.partial(_group_kernel, dis_z=float(dis_z),
@@ -368,20 +379,8 @@ def group_depth_point_multi(points: jnp.ndarray, refs, dis_zs, nsamples,
     mt = -(-(-(-mtot // m_tiles)) // 8) * 8
 
     ref_cat = jnp.concatenate(list(refs), axis=1)  # (B, Mtot, 3)
-    zp, zr, n_pow2, m_pad = _pad_inputs(points[..., 2], ref_cat[..., 2], mt)
-    m_tiles = (mtot + m_pad) // mt
-
-    chans = []
-    for ci in range(c):
-        if ci == 2:
-            chans.append(zp.reshape(b, 1, n_pow2))
-        else:
-            chans.append(jnp.pad(points[..., ci], ((0, 0), (0, n_pow2 - n)))
-                         .reshape(b, 1, n_pow2))
-    ref_pad = jnp.pad(ref_cat.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)))
-    coords = [ref_pad[..., 0].reshape(b * m_tiles, mt, 1),
-              ref_pad[..., 1].reshape(b * m_tiles, mt, 1),
-              zr.reshape(b * m_tiles, mt, 1)]
+    chans, coords, n_pow2, m_pad, m_tiles = _prep_group_inputs(
+        points, ref_cat, mt)
 
     # per-section window / slot-count planes (constant within a scale)
     dz = jnp.concatenate([jnp.full((m_,), float(d), jnp.float32)

@@ -52,12 +52,25 @@ class TrainStepConfig:
 
 
 def multistep_lr(cfg: TrainStepConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """MultiStepLR with MIN_LR floor, stepped per epoch (ref :98-103)."""
+    """Reference LR schedule with MIN_LR floor, stepped per epoch.
+
+    The reference picks the scheduler by milestone count
+    (`train_net_det.py:333-339`): ``len(LR_STEPS) > 1`` -> MultiStepLR
+    (decay once at each milestone), else StepLR with
+    ``step_size = LR_STEPS[0]`` — a PERIODIC decay every step_size epochs.
+    All five shipped configs use LR_STEPS=[20], i.e. the periodic form
+    (1e-3 -> 1e-4 @20 -> 1e-5 @40, floored at MIN_LR).
+    """
     milestones = jnp.asarray(list(cfg.lr_steps), dtype=jnp.float32)
+    periodic = len(cfg.lr_steps) == 1
+    step_size = float(cfg.lr_steps[0]) if periodic else 1.0
 
     def schedule(step):
         epoch = jnp.floor(step / cfg.steps_per_epoch)
-        k = jnp.sum(epoch >= milestones)
+        if periodic:
+            k = jnp.floor(epoch / step_size)
+        else:
+            k = jnp.sum(epoch >= milestones)
         lr = cfg.base_lr * (cfg.gamma ** k)
         return jnp.maximum(lr, cfg.min_lr)
 
@@ -189,7 +202,10 @@ def build_train_step_accum(model: FrustumConvNet, spec: DetModelSpec,
     def step_fn(state: TrainState, accum, batch):
         new_state, losses, metrics = core(state, batch)
         vals = {**losses, **metrics}
-        new_accum = {k: accum[k] + vals[k] for k in vals}
+        # iterate accum (not vals) so a missing key fails fast instead of
+        # silently shrinking the accumulator pytree (e.g. metric keys when
+        # cfg.compute_metrics=False) and forcing a retrace
+        new_accum = {k: accum[k] + vals[k] for k in accum}
         return new_state, new_accum, losses, metrics
 
     if mesh is not None:

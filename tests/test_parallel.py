@@ -122,3 +122,36 @@ def test_dryrun_multichip_scales_beyond_eight(n):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert f"dryrun_multichip({n})" in proc.stdout
     assert "total_loss=" in proc.stdout
+
+
+def test_lr_schedule_matches_reference_semantics():
+    """len(LR_STEPS)==1 -> periodic StepLR decay (the reference's scheduler
+    choice at `train_net_det.py:333-339`, used by ALL shipped configs);
+    multiple milestones -> MultiStepLR; MIN_LR floors both."""
+    from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig,
+                                                         multistep_lr)
+    spe = 10
+    sched = multistep_lr(TrainStepConfig(lr_steps=(20,), steps_per_epoch=spe))
+    for epoch, want in ((0, 1e-3), (19, 1e-3), (20, 1e-4), (39, 1e-4),
+                        (40, 1e-5), (49, 1e-5), (80, 1e-5)):
+        got = float(sched(jnp.asarray(epoch * spe, jnp.float32)))
+        assert abs(got - want) < 1e-9, (epoch, got, want)
+    sched_m = multistep_lr(TrainStepConfig(lr_steps=(20, 30),
+                                           steps_per_epoch=spe))
+    for epoch, want in ((19, 1e-3), (20, 1e-4), (29, 1e-4), (30, 1e-5),
+                        (50, 1e-5)):
+        got = float(sched_m(jnp.asarray(epoch * spe, jnp.float32)))
+        assert abs(got - want) < 1e-9, (epoch, got, want)
+
+
+def test_focal_loss_zero_foreground_is_bounded():
+    """A batch with zero foreground sections must produce a bounded cls
+    loss (dense-masked analogue of the reference's fg assertion,
+    `det_base.py:414-416`), not a ~1e14 blowup."""
+    from frustum_convnet_tpu.models.losses import softmax_focal_loss_masked
+
+    probs = jnp.full((64, 2), 0.5, jnp.float32)
+    labels = jnp.concatenate([jnp.zeros(48, jnp.int32),
+                              jnp.full((16,), -1, jnp.int32)])
+    loss = float(softmax_focal_loss_masked(probs, labels))
+    assert np.isfinite(loss) and loss < 100.0, loss
