@@ -31,16 +31,10 @@ def section_ladder(spec: DetModelSpec, batch: int) -> list[np.ndarray]:
 
 
 def assign_section_labels(ref_xyz: np.ndarray, center, size, heading) -> np.ndarray:
-    """Provider label rule on one ref grid (ref provider_sample.py:272-289)."""
-    labels = np.zeros(len(ref_xyz), dtype=np.int64)
-    inside_full = gnp.points_in_box3d(ref_xyz, center, size, heading)
-    inside_half = gnp.points_in_box3d(ref_xyz, center, np.asarray(size) * 0.5, heading)
-    labels[inside_full] = -1
-    labels[inside_half] = 1
-    if inside_half.sum() == 0:
-        d = np.linalg.norm(ref_xyz - np.asarray(center)[None], axis=1)
-        labels[int(np.argmin(d))] = 1
-    return labels
+    """Provider label rule on one ref grid — delegates to the providers'
+    single source (ref provider_sample.py:272-289)."""
+    from frustum_convnet_tpu.data.provider import section_labels
+    return section_labels(center, size, heading, ref_xyz, fractions=(0.5, 1.0))
 
 
 def make_batch(spec: DetModelSpec, batch: int, seed: int = 0,

@@ -43,6 +43,29 @@ def default_pickle_path(cfg, split: str, from_rgb_detection: bool) -> str:
     return os.path.join(cfg.DATA.DATA_ROOT, f"{prefix}_{split}{suffix}.pickle")
 
 
+def section_labels(center, dimension, angle, ref_xyz,
+                   fractions=(0.5, 1.0)) -> np.ndarray:
+    """Per-section cls labels: +1 inside the ``fractions[0]``-scaled box,
+    -1 (ignore) inside the ``fractions[1]``-scaled box, else 0; nearest
+    section forced positive when none land inside. The single source of the
+    rule for all providers and fixtures — stage 1 uses (0.5, 1.0)
+    (ref `provider_sample.py:272-289`), the refine stage (0.3, 0.6)
+    (ref `provider_sample_refine.py:318-334`).
+    """
+    pos_frac, ign_frac = fractions
+    labels = np.zeros(len(ref_xyz), dtype=np.int64)
+    inside_ign = gnp.points_in_box3d(ref_xyz, center,
+                                     np.asarray(dimension) * ign_frac, angle)
+    inside_pos = gnp.points_in_box3d(ref_xyz, center,
+                                     np.asarray(dimension) * pos_frac, angle)
+    labels[inside_ign] = -1
+    labels[inside_pos] = 1
+    if inside_pos.sum() == 0:
+        d = np.sqrt(((ref_xyz - np.asarray(center)[None]) ** 2).sum(1))
+        labels[int(np.argmin(d))] = 1
+    return labels
+
+
 class FrustumProvider:
     """Stage-1 KITTI provider ('provider_sample' in the registry)."""
 
@@ -120,15 +143,8 @@ class FrustumProvider:
     @staticmethod
     def generate_labels(center, dimension, angle, ref_xyz) -> np.ndarray:
         """+1 inside half-size box, -1 inside full box, else 0 (ref :272-289)."""
-        labels = np.zeros(len(ref_xyz), dtype=np.int64)
-        inside_full = gnp.points_in_box3d(ref_xyz, center, dimension, angle)
-        inside_half = gnp.points_in_box3d(ref_xyz, center, np.asarray(dimension) * 0.5, angle)
-        labels[inside_full] = -1
-        labels[inside_half] = 1
-        if inside_half.sum() == 0:
-            d = np.sqrt(((ref_xyz - np.asarray(center)[None]) ** 2).sum(1))
-            labels[int(np.argmin(d))] = 1
-        return labels
+        return section_labels(center, dimension, angle, ref_xyz,
+                              fractions=(0.5, 1.0))
 
     # ------------------------------------------------------------------
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:

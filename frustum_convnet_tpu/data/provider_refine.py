@@ -24,6 +24,7 @@ positives) while keeping shapes static across the entire run.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -59,6 +60,16 @@ class FrustumRefineProvider:
         fields = (pickle_io.REFINE_RGBDET_FIELDS if from_rgb_detection
                   else pickle_io.REFINE_LABELED_FIELDS)
         self.data = pickle_io.read_stream_pickle(path, fields)
+        if extend_from_det and not from_rgb_detection:
+            # append the stage-1-detection-assigned frustums, reference
+            # behavior `provider_sample_refine.py:118-135` (the `_det`
+            # pickle from `prepare_refine --gen_val_det`); split on the
+            # extension so a dotted DATA_ROOT can't corrupt the path
+            root, ext_suffix = os.path.splitext(path)
+            extra = pickle_io.read_stream_pickle(f"{root}_det{ext_suffix}",
+                                                 fields)
+            for k in fields:
+                self.data[k] = list(self.data[k]) + list(extra[k])
 
     def __len__(self):
         return len(self.data["points"])
@@ -110,15 +121,9 @@ class FrustumRefineProvider:
     @staticmethod
     def generate_labels(center, dimension, angle, ref_xyz) -> np.ndarray:
         """+1 inside 0.3x box, -1 inside 0.6x, else 0 (ref :318-334)."""
-        labels = np.zeros(len(ref_xyz), dtype=np.int64)
-        inside_06 = gnp.points_in_box3d(ref_xyz, center, np.asarray(dimension) * 0.6, angle)
-        inside_03 = gnp.points_in_box3d(ref_xyz, center, np.asarray(dimension) * 0.3, angle)
-        labels[inside_06] = -1
-        labels[inside_03] = 1
-        if inside_03.sum() == 0:
-            d = np.sqrt(((ref_xyz - np.asarray(center)[None]) ** 2).sum(1))
-            labels[int(np.argmin(d))] = 1
-        return labels
+        from frustum_convnet_tpu.data.provider import section_labels
+        return section_labels(center, dimension, angle, ref_xyz,
+                              fractions=(0.3, 0.6))
 
     # ------------------------------------------------------------------
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:

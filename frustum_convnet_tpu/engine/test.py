@@ -399,9 +399,33 @@ def main(argv=None):
                            group=cfg.TPU.INFER_GROUP,
                            inflight=cfg.TPU.INFER_INFLIGHT)
 
+    # the empty-file fill is part of the devkit protocol: the evaluator
+    # iterates result-dir files, so a frame with no result file is silently
+    # excluded (its GT never counted as FNs) and AP inflates. The reference
+    # unconditionally opens `kitti/image_sets/<split>.txt` (and crashes if
+    # absent, `test_net_det.py:120-123`); we auto-discover the split file
+    # and refuse to evaluate without it.
+    idx_path = args.idx_path
+    if not idx_path:
+        split = cfg.TEST.DATASET.replace("_rgb_detection", "")
+        for cand in (os.path.join(cfg.DATA.DATA_ROOT, "..", "image_sets",
+                                  f"{split}.txt"),
+                     os.path.join("kitti", "image_sets", f"{split}.txt"),
+                     os.path.join("data", "kitti", "image_sets",
+                                  f"{split}.txt")):
+            if os.path.exists(cand):
+                idx_path = cand
+                logger.info(f"using split ids from {cand} for empty-file fill")
+                break
     split_ids = []
-    if args.idx_path and os.path.exists(args.idx_path):
-        split_ids = [int(line.strip()) for line in open(args.idx_path) if line.strip()]
+    if idx_path and os.path.exists(idx_path):
+        split_ids = [int(line.strip()) for line in open(idx_path) if line.strip()]
+    elif "test" not in cfg.TEST.DATASET and not args.no_eval:
+        raise FileNotFoundError(
+            "no split id file found for the empty-result fill — pass "
+            "--idx_path <image_sets/{split}.txt>; evaluating without it "
+            "excludes zero-detection frames from AP (devkit iterates "
+            "result-dir files)")
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     data_dir = write_detection_results(result_dir, det_results, split_ids,
                                        nms_threshold=nms_thresh)

@@ -39,7 +39,9 @@ from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState
                                                      build_eval_step,
                                                      build_train_step_accum,
                                                      init_accum, init_state,
-                                                     make_optimizer)
+                                                     make_optimizer,
+                                                     reset_schedule_count
+                                                     as _reset_schedule)
 from frustum_convnet_tpu.utils.logger import ScalarWriter, get_logger
 from frustum_convnet_tpu.utils.metrics import TrainingStates
 
@@ -199,7 +201,16 @@ def main(argv=None):
     )
     tx = make_optimizer(step_cfg)
 
-    example = next(iter(train_loader.epoch(0)))
+    # a tiny batch suffices for parameter init (shapes only depend on
+    # channel dims); collating mesh-size items directly avoids spinning up
+    # the loader's prefetch threads for one abandoned iterator, which would
+    # leave NUM_WORKERS daemon threads parked on full prefetched batches
+    from frustum_convnet_tpu.data.provider import collate_batch
+    ex_rng = np.random.default_rng(0)
+    n_ex = max(int(mesh.size) if mesh is not None else 1, 1)
+    example = collate_batch(
+        [train_ds.__getitem__(i % len(train_ds), ex_rng) for i in range(n_ex)],
+        spec.num_scales)
     example_dev = device_batch(example, mesh)
     state = init_state(model, tx, example_dev, seed=3)
 
@@ -216,6 +227,14 @@ def main(argv=None):
         best_epoch = payload["best_epoch"]
         if start_epoch == cfg.TRAIN.MAX_EPOCH:  # fine-tune-from quirk
             start_epoch, best_prec, best_epoch = 0, 0.0, 0
+            # the reference restarts its epoch-indexed LR scheduler at base
+            # LR for the fine-tune run (`train_net_det.py:99` steps by the
+            # loop epoch) while keeping adam moments; reset only the
+            # schedule count, not the optimizer moments
+            state = TrainState(params=state.params,
+                               batch_stats=state.batch_stats,
+                               opt_state=_reset_schedule(state.opt_state),
+                               step=jnp.zeros((), jnp.int32))
         logger.info(f"resumed from {path} at epoch {start_epoch}")
 
     train_fn = build_train_step_accum(model, spec, tx, step_cfg, mesh=mesh,

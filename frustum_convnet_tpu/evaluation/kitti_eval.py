@@ -166,10 +166,28 @@ def clean_data(gts: List[TBox], dets: List[TBox], cls: str, difficulty: int):
     return ignored_gt, dontcare, ignored_det, n_gt
 
 
+def pairwise_overlaps(gts, dets, dontcare, metric: int):
+    """(gt x det) rotated overlaps + (dontcare x det) image IoUs for one
+    image — threshold-independent, so eval_class computes them once per
+    (image, metric) and reuses them across all 41 recall thresholds (the
+    C++ devkit re-clips per threshold; pure-Python clipping cannot afford
+    the 41x redundancy on real KITTI val)."""
+    ov = np.array([[_overlap(d, g, metric) for d in dets] for g in gts],
+                  dtype=np.float64).reshape(len(gts), len(dets))
+    dc = np.array([[_image_iou(d, c, criterion=0) for d in dets]
+                   for c in dontcare],
+                  dtype=np.float64).reshape(len(dontcare), len(dets))
+    return ov, dc
+
+
 def compute_statistics(cls: str, gts, dets, dontcare, ignored_gt, ignored_det,
                        compute_fp: bool, metric: int, min_overlap: float,
-                       thresh: float = 0.0, compute_aos: bool = False):
+                       thresh: float = 0.0, compute_aos: bool = False,
+                       overlaps=None):
     """One image's tp/fp/fn (+ scores / orientation sims). Devkit semantics."""
+    if overlaps is None:
+        overlaps = pairwise_overlaps(gts, dets, dontcare, metric)
+    gt_ov, dc_ov = overlaps
     tp = fp = fn = 0
     scores: List[float] = []
     deltas: List[float] = []
@@ -189,7 +207,7 @@ def compute_statistics(cls: str, gts, dets, dontcare, ignored_gt, ignored_det,
         for j, d in enumerate(dets):
             if ignored_det[j] == -1 or assigned[j] or ignored_threshold[j]:
                 continue
-            overlap = _overlap(d, g, metric)
+            overlap = gt_ov[i, j]
             if not compute_fp:
                 if overlap > min_overlap and d.score > valid_detection:
                     det_idx = j
@@ -227,11 +245,11 @@ def compute_statistics(cls: str, gts, dets, dontcare, ignored_gt, ignored_det,
                 fp += 1
         # subtract detections landing on DontCare areas (image-space test)
         nstuff = 0
-        for dc in dontcare:
+        for ci in range(len(dontcare)):
             for j, d in enumerate(dets):
                 if assigned[j] or ignored_det[j] in (-1, 1) or ignored_threshold[j]:
                     continue
-                if _image_iou(d, dc, criterion=0) > min_overlap:
+                if dc_ov[ci, j] > min_overlap:
                     assigned[j] = True
                     nstuff += 1
         fp -= nstuff
@@ -269,6 +287,7 @@ def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox
     img_ids = sorted(gt_by_img.keys())
 
     cleaned = {}
+    cached_ov = {}
     all_scores: List[float] = []
     total_gt = 0
     for idx in img_ids:
@@ -276,10 +295,14 @@ def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox
         dets = det_by_img.get(idx, [])
         ignored_gt, dontcare, ignored_det, n_gt = clean_data(gts, dets, cls, difficulty)
         cleaned[idx] = (ignored_gt, dontcare, ignored_det)
+        # overlaps are threshold-independent: compute once per image and
+        # reuse across the score pass and all 41 recall thresholds
+        cached_ov[idx] = pairwise_overlaps(gts, dets, dontcare, metric)
         total_gt += n_gt
         _, _, _, scores, _ = compute_statistics(
             cls, gts, dets, dontcare, ignored_gt, ignored_det,
-            compute_fp=False, metric=metric, min_overlap=min_overlap)
+            compute_fp=False, metric=metric, min_overlap=min_overlap,
+            overlaps=cached_ov[idx])
         all_scores.extend(scores)
 
     precision = np.zeros(N_SAMPLE_PTS)
@@ -300,7 +323,7 @@ def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox
             tp, fp, fn, _, sim = compute_statistics(
                 cls, gts, dets, dontcare, ignored_gt, ignored_det,
                 compute_fp=True, metric=metric, min_overlap=min_overlap,
-                thresh=t, compute_aos=compute_aos)
+                thresh=t, compute_aos=compute_aos, overlaps=cached_ov[idx])
             tps[ti] += tp
             fps[ti] += fp
             fns[ti] += fn

@@ -95,6 +95,22 @@ def make_optimizer(cfg: TrainStepConfig) -> optax.GradientTransformation:
     raise ValueError(cfg.optimizer)
 
 
+def reset_schedule_count(opt_state):
+    """Zero every LR-schedule count in an optimizer state, keeping moments.
+
+    Fine-tune-from support: the reference restarts its epoch-indexed LR
+    scheduler at base LR while loading the optimizer state from the
+    checkpoint (`train_net_det.py:99,345-361`); the optax equivalent is
+    resetting ``ScaleByScheduleState.count`` (and only it — adam moments and
+    their bias-correction count stay).
+    """
+    is_sched = lambda s: isinstance(s, optax.ScaleByScheduleState)
+    return jax.tree_util.tree_map(
+        lambda s: optax.ScaleByScheduleState(count=jnp.zeros_like(s.count))
+        if is_sched(s) else s,
+        opt_state, is_leaf=is_sched)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:

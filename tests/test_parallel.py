@@ -155,3 +155,36 @@ def test_focal_loss_zero_foreground_is_bounded():
                               jnp.full((16,), -1, jnp.int32)])
     loss = float(softmax_focal_loss_masked(probs, labels))
     assert np.isfinite(loss) and loss < 100.0, loss
+
+
+def test_reset_schedule_count_keeps_moments():
+    """Fine-tune-from: the LR schedule restarts at base LR (reference
+    scheduler restarts, `train_net_det.py:99,345-361`) while adam moments
+    and bias-correction count survive."""
+    import optax
+    from frustum_convnet_tpu.parallel.train_step import (
+        TrainStepConfig, make_optimizer, reset_schedule_count)
+
+    tx = make_optimizer(TrainStepConfig())
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    for _ in range(5):
+        updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    def find(state, typ):
+        return [s for s in jax.tree_util.tree_leaves(
+            state, is_leaf=lambda x: isinstance(x, typ))
+            if isinstance(s, typ)]
+
+    sched_before = find(state, optax.ScaleByScheduleState)
+    adam_before = find(state, optax.ScaleByAdamState)
+    assert sched_before and int(sched_before[0].count) == 5
+
+    reset = reset_schedule_count(state)
+    sched_after = find(reset, optax.ScaleByScheduleState)
+    adam_after = find(reset, optax.ScaleByAdamState)
+    assert int(sched_after[0].count) == 0
+    assert int(adam_after[0].count) == 5  # bias correction untouched
+    np.testing.assert_array_equal(adam_after[0].mu["w"], adam_before[0].mu["w"])
+    np.testing.assert_array_equal(adam_after[0].nu["w"], adam_before[0].nu["w"])

@@ -138,9 +138,25 @@ def test_refine_train_and_test(setup, monkeypatch):
     monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
     monkeypatch.setattr(test_mod, "cfg", config_mod.cfg, raising=True)
     gt_dir = os.path.join(setup["kitti_root"], "training", "label_2")
+    idx_path = os.path.join(setup["kitti_root"], "image_sets", "val.txt")
     results = test_mod.main([
         "--cfg", "cfgs/refine_car.yaml", "--gt_dir", gt_dir,
+        "--idx_path", idx_path,
     ] + overrides + ["TEST.WEIGHTS", final, "FROM_RGB_DET", "True"])
     assert results is not None and "car" in results
     data_dir = os.path.join(setup["output_dir"], "val_nms", "result", "data")
     assert os.listdir(data_dir)
+
+
+def test_refine_provider_extend_from_det(setup):
+    """extend_from_det appends the stage-1-detection-assigned `_det` pickle
+    (reference `provider_sample_refine.py:118-135`); items past the base
+    length come from the det stream and remain fully usable."""
+    cfg = refine_cfg(setup["pickle_dir"])
+    base = FrustumRefineProvider(cfg, "train")
+    ext = FrustumRefineProvider(cfg, "train", extend_from_det=True)
+    assert len(ext) > len(base)
+    rng = np.random.default_rng(0)
+    item = ext.__getitem__(len(base), rng)  # first det-stream record
+    assert item["point_cloud"].shape == (128, 3)
+    assert "ref_center" in item
