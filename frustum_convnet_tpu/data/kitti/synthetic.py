@@ -44,8 +44,16 @@ def _calib_text() -> str:
                      for k, m in rows.items()) + "\n"
 
 
+_CLASS_SPECS = {
+    # class -> ((l, w, h) means, (l, w, h) jitter sigmas, det-file typeid)
+    "Car": ((3.9, 1.6, 1.5), (0.2, 0.1, 0.1), 2),
+    "Pedestrian": ((0.8, 0.6, 1.75), (0.1, 0.05, 0.1), 1),
+    "Cyclist": ((1.75, 0.6, 1.75), (0.1, 0.05, 0.1), 3),
+}
+
+
 def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2,
-                         seed: int = 0) -> None:
+                         seed: int = 0, classes=("Car",)) -> None:
     from PIL import Image
     from frustum_convnet_tpu.data.kitti.calib import Calibration
 
@@ -62,9 +70,11 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
         labels = []
         car_clouds = []
         for _ in range(cars_per_frame):
-            depth = rng.uniform(8, 35)
+            cls = classes[int(rng.integers(len(classes)))]
+            means, sigmas, typeid = _CLASS_SPECS[cls]
+            depth = rng.uniform(8, 35) if cls == "Car" else rng.uniform(5, 20)
             lateral = rng.uniform(-0.25, 0.25) * depth  # keep inside image FOV
-            l, w, h = 3.9 + rng.normal(0, 0.2), 1.6 + rng.normal(0, 0.1), 1.5 + rng.normal(0, 0.1)
+            l, w, h = (m + rng.normal(0, s) for m, s in zip(means, sigmas))
             ry = rng.uniform(-np.pi, np.pi)
             bottom_y = 1.65  # camera height above road
             t = np.array([lateral, bottom_y, depth])
@@ -87,14 +97,15 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
                 ymax = min(IMG_H - 1, ymin + 30)
             alpha = gnp.compute_alpha(t[0], t[2], ry)
             labels.append(
-                f"Car 0.00 0 {alpha:.2f} {xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f} "
+                f"{cls} 0.00 0 {alpha:.2f} {xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f} "
                 f"{h:.2f} {w:.2f} {l:.2f} {t[0]:.2f} {t[1]:.2f} {t[2]:.2f} {ry:.2f}"
             )
             # mimic an external 2D detector: jitter the GT box a little
             jw, jh = (xmax - xmin) * 0.05, (ymax - ymin) * 0.05
             dx1, dy1, dx2, dy2 = rng.uniform(-1, 1, 4) * [jw, jh, jw, jh]
             det_lines.append(
-                f"training/image_2/{idx:06d}.png 2 {rng.uniform(0.7, 0.99):.3f} "
+                f"training/image_2/{idx:06d}.png {typeid} "
+                f"{rng.uniform(0.7, 0.99):.3f} "
                 f"{max(0, xmin + dx1):.2f} {max(0, ymin + dy1):.2f} "
                 f"{min(IMG_W - 1, xmax + dx2):.2f} {min(IMG_H - 1, ymax + dy2):.2f}"
             )

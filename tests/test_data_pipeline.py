@@ -248,3 +248,50 @@ def test_rotation_helpers_and_orientation_3d(tmp_path):
     if np.all(ori3d[:, 2] >= 0.1):
         assert ori2d is not None and ori2d.shape == (2, 2)
         np.testing.assert_allclose(ori2d, calib.rect_to_image(ori3d))
+
+
+def test_people_classes_flow_through_prep_and_provider(tmp_path):
+    """Pedestrian/Cyclist synthetic scenes -> pedcyc prep -> provider item
+    (exercises the det-file typeid mapping 1:Ped/3:Cyc and the people
+    pickle prefix, ref `prepare_data.py:428-446,616-687`)."""
+    import numpy as np
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+    from frustum_convnet_tpu.data.kitti.prepare import (
+        extract_frustum_data, extract_frustum_data_rgb_detection)
+    from frustum_convnet_tpu.data.provider import FrustumProvider
+
+    root = str(tmp_path / "kitti")
+    make_synthetic_kitti(root, num_frames=6, cars_per_frame=2, seed=5,
+                         classes=("Pedestrian", "Cyclist"))
+    pk = str(tmp_path / "pickles")
+    os.makedirs(pk)
+    sets = os.path.join(root, "image_sets")
+    wh = ("Pedestrian", "Cyclist")
+    n = extract_frustum_data(
+        os.path.join(sets, "val.txt"), "training",
+        os.path.join(pk, "frustum_pedcyc_val.pickle"), root,
+        perturb_box2d=False, augmentX=1, type_whitelist=wh)
+    assert n > 0
+    n = extract_frustum_data_rgb_detection(
+        os.path.join(root, "rgb_detections", "rgb_detection_val.txt"),
+        "training", os.path.join(pk, "frustum_pedcyc_val_rgb_detection.pickle"),
+        root, type_whitelist=wh)
+    assert n > 0
+
+    cfg = get_default_cfg()
+    merge_cfg_from_list(
+        ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
+         "DATA.DATA_ROOT", pk, "DATA.CAR_ONLY", "False",
+         "DATA.PEOPLE_ONLY", "True",
+         "DATA.NUM_SAMPLES", "128",
+         "DATA.STRIDE", "(0.1, 0.2, 0.4, 0.8)",
+         "DATA.HEIGHT_HALF", "(0.1, 0.2, 0.4, 0.8)"], cfg)
+    ds = FrustumProvider(cfg, "val", one_hot=True)
+    rng = np.random.default_rng(0)
+    types = {ds.data["type"][i] for i in range(len(ds))}
+    assert types <= {"Pedestrian", "Cyclist"} and len(types) == 2
+    item = ds.__getitem__(0, rng)
+    assert item["one_hot"].shape == (3,) and item["one_hot"].sum() == 1
+    ds_det = FrustumProvider(cfg, "val", one_hot=True, from_rgb_detection=True)
+    item = ds_det.__getitem__(0, rng)
+    assert "rgb_prob" in item
