@@ -8,6 +8,8 @@ Fresh implementation.
 
 from __future__ import annotations
 
+import copy
+
 
 class AttrDict(dict):
     _IMMUTABLE = "__immutable__"
@@ -29,6 +31,16 @@ class AttrDict(dict):
             )
         self[name] = value
 
+    def __setitem__(self, key, value):
+        # item assignment must honor the freeze too (the merge machinery
+        # writes via d[k] = v; a frozen config silently mutable through
+        # items would defeat assert_and_infer_cfg's contract)
+        if self.__dict__.get(AttrDict._IMMUTABLE, False):
+            raise AttributeError(
+                f"Attempted to set '{key}' on an immutable AttrDict"
+            )
+        super().__setitem__(key, value)
+
     def immutable(self, is_immutable: bool) -> None:
         """Recursively (un)freeze this dict and every nested AttrDict."""
         self.__dict__[AttrDict._IMMUTABLE] = is_immutable
@@ -42,5 +54,7 @@ class AttrDict(dict):
     def clone(self) -> "AttrDict":
         out = AttrDict()
         for k, v in self.items():
-            out[k] = v.clone() if isinstance(v, AttrDict) else v
+            # deep-copy mutable leaves (lists like LR_STEPS / MESH_SHAPE):
+            # a clone that shares them could corrupt the original in place
+            out[k] = v.clone() if isinstance(v, AttrDict) else copy.deepcopy(v)
         return out

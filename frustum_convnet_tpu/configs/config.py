@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import ast
 import copy
-import io
 import os
 
 import numpy as np
@@ -150,12 +149,6 @@ def assert_and_infer_cfg(config: AttrDict | None = None, make_immutable: bool = 
     if make_immutable:
         c.immutable(True)
     return c
-
-
-def load_cfg(cfg_file_or_str):
-    if hasattr(cfg_file_or_str, "read"):
-        cfg_file_or_str = cfg_file_or_str.read()
-    return yaml.safe_load(cfg_file_or_str)
 
 
 def merge_cfg_from_file(cfg_filename: str, config: AttrDict | None = None) -> None:

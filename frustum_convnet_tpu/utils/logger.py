@@ -19,6 +19,9 @@ def get_logger(log_file: str | None = None, name: str = "frustum_tpu") -> loggin
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    # own handlers only — without this, a root logger configured by the
+    # embedding script (logging.basicConfig) would emit every line twice
+    logger.propagate = False
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     sh = logging.StreamHandler()
     sh.setFormatter(fmt)

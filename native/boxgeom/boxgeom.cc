@@ -131,14 +131,36 @@ void rbbox_iou_3d_pair(const double* corners1, const double* corners2,
   }
 }
 
-// Full 3D IoU matrix: (n, 8, 3) x (k, 8, 3) -> out (n, k).
+// Full 3D IoU matrix: (n, 8, 3) x (k, 8, 3) -> out (n, k). The row box's
+// polygon / area / y-extent are hoisted out of the inner loop (same shape
+// as rbbox_iou_bev_matrix below) instead of re-deriving them k times via
+// iou_bev_3d.
 void rbbox_iou_3d_matrix(const double* corners1, const double* corners2,
                          int64_t n, int64_t k, double* out) {
   for (int64_t i = 0; i < n; ++i) {
+    const double* c1 = corners1 + i * 24;
+    std::vector<P2> p1 = bev_poly(c1);
+    const double a1 = poly_area(p1);
+    double ymin1 = 1e30, ymax1 = -1e30;
+    for (int v = 0; v < 8; ++v) {
+      ymin1 = std::min(ymin1, c1[v * 3 + 1]);
+      ymax1 = std::max(ymax1, c1[v * 3 + 1]);
+    }
     for (int64_t j = 0; j < k; ++j) {
-      double bev, i3d;
-      iou_bev_3d(corners1 + i * 24, corners2 + j * 24, &bev, &i3d);
-      out[i * k + j] = i3d;
+      const double* c2 = corners2 + j * 24;
+      std::vector<P2> p2 = bev_poly(c2);
+      const double inter = poly_area(clip_poly(p1, p2));
+      const double a2 = poly_area(p2);
+      double ymin2 = 1e30, ymax2 = -1e30;
+      for (int v = 0; v < 8; ++v) {
+        ymin2 = std::min(ymin2, c2[v * 3 + 1]);
+        ymax2 = std::max(ymax2, c2[v * 3 + 1]);
+      }
+      const double yov =
+          std::max(0.0, std::min(ymax1, ymax2) - std::max(ymin1, ymin2));
+      const double inter3 = inter * yov;
+      const double u3 = a1 * (ymax1 - ymin1) + a2 * (ymax2 - ymin2) - inter3;
+      out[i * k + j] = u3 > 0 ? inter3 / u3 : 0.0;
     }
   }
 }

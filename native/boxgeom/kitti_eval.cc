@@ -190,9 +190,33 @@ struct Stats {
   std::vector<double> scores;
 };
 
+// Threshold-independent pairwise overlaps for one image, computed once per
+// (image, metric) and reused across all recall thresholds (the polygon clip
+// is the evaluator's hot spot; recomputing it ~41x per pair dominated).
+struct Overlaps {
+  std::vector<double> gt;  // gts.size() x dets.size(), row-major
+  std::vector<double> dc;  // dontcare.size() x dets.size()
+};
+
+Overlaps pairwise_overlaps(const std::vector<Box>& gts,
+                           const std::vector<Box>& dets, const Cleaned& c,
+                           int metric) {
+  Overlaps ov;
+  ov.gt.resize(gts.size() * dets.size());
+  for (size_t i = 0; i < gts.size(); ++i)
+    for (size_t j = 0; j < dets.size(); ++j)
+      ov.gt[i * dets.size() + j] = overlap(dets[j], gts[i], metric);
+  ov.dc.resize(c.dontcare.size() * dets.size());
+  for (size_t ci = 0; ci < c.dontcare.size(); ++ci)
+    for (size_t j = 0; j < dets.size(); ++j)
+      ov.dc[ci * dets.size() + j] = image_overlap(dets[j], c.dontcare[ci], 0);
+  return ov;
+}
+
 Stats compute_statistics(const std::vector<Box>& gts, const std::vector<Box>& dets,
                          const Cleaned& c, bool compute_fp, int metric,
-                         double min_overlap, double thresh, bool compute_aos) {
+                         double min_overlap, double thresh, bool compute_aos,
+                         const Overlaps& pair_ov) {
   Stats st;
   std::vector<char> assigned(dets.size(), 0);
   std::vector<char> ignored_threshold(dets.size(), 0);
@@ -210,7 +234,7 @@ Stats compute_statistics(const std::vector<Box>& gts, const std::vector<Box>& de
     bool assigned_ignored_det = false;
     for (size_t j = 0; j < dets.size(); ++j) {
       if (c.ig_det[j] == -1 || assigned[j] || ignored_threshold[j]) continue;
-      double ov = overlap(dets[j], gts[i], metric);
+      double ov = pair_ov.gt[i * dets.size() + j];
       if (!compute_fp) {
         if (ov > min_overlap && dets[j].score > valid_detection) {
           det_idx = (int)j;
@@ -250,12 +274,12 @@ Stats compute_statistics(const std::vector<Box>& gts, const std::vector<Box>& de
         ++st.fp;
     }
     long nstuff = 0;
-    for (const auto& dc : c.dontcare) {
+    for (size_t ci = 0; ci < c.dontcare.size(); ++ci) {
       for (size_t j = 0; j < dets.size(); ++j) {
         if (assigned[j] || c.ig_det[j] == -1 || c.ig_det[j] == 1 ||
             ignored_threshold[j])
           continue;
-        if (image_overlap(dets[j], dc, 0) > min_overlap) {
+        if (pair_ov.dc[ci * dets.size() + j] > min_overlap) {
           assigned[j] = 1;
           ++nstuff;
         }
@@ -299,13 +323,16 @@ void eval_class(const std::vector<ImageData>& imgs, const std::string& cls,
   aos->assign(N_SAMPLE_PTS, 0.0);
 
   std::vector<Cleaned> cleaned;
+  std::vector<Overlaps> cached_ov;
   std::vector<double> all_scores;
   int total_gt = 0;
   for (const auto& im : imgs) {
     cleaned.push_back(clean_data(im.gts, im.dets, cls, difficulty));
+    cached_ov.push_back(
+        pairwise_overlaps(im.gts, im.dets, cleaned.back(), metric));
     total_gt += cleaned.back().n_gt;
     Stats st = compute_statistics(im.gts, im.dets, cleaned.back(), false, metric,
-                                  min_overlap, 0.0, false);
+                                  min_overlap, 0.0, false, cached_ov.back());
     all_scores.insert(all_scores.end(), st.scores.begin(), st.scores.end());
   }
   if (total_gt == 0 || all_scores.empty()) return;
@@ -317,7 +344,7 @@ void eval_class(const std::vector<ImageData>& imgs, const std::string& cls,
     for (size_t ti = 0; ti < thresholds.size(); ++ti) {
       Stats st = compute_statistics(imgs[ii].gts, imgs[ii].dets, cleaned[ii],
                                     true, metric, min_overlap, thresholds[ti],
-                                    compute_aos);
+                                    compute_aos, cached_ov[ii]);
       tps[ti] += st.tp;
       fps[ti] += st.fp;
       fns[ti] += st.fn;
@@ -370,7 +397,14 @@ int main(int argc, char** argv) {
   for (const auto& n : names) {
     std::string gt_path = gt_dir + "/" + n;
     std::ifstream probe(gt_path);
-    if (!probe.good()) continue;
+    if (!probe.good()) {
+      // devkit parity: a result file whose ground-truth twin is missing
+      // aborts the evaluation (silently dropping it would delete that
+      // frame's GT from total_gt and inflate AP)
+      std::fprintf(stderr, "ERROR: couldn't read ground truth %s\n",
+                   gt_path.c_str());
+      return 1;
+    }
     ImageData im;
     im.gts = load_boxes(gt_path, false);
     im.dets = load_boxes(data_dir + "/" + n, true);
@@ -390,20 +424,20 @@ int main(int argc, char** argv) {
       double aps[3];
       std::ofstream stats(result_dir + "/stats_" + cls + "_" +
                           metric_names[metric] + ".txt");
+      double aos_aps[3] = {0, 0, 0};
       for (int difficulty = 0; difficulty < 3; ++difficulty) {
         std::vector<double> prec, aos;
         eval_class(imgs, cls, difficulty, metric, metric == 0, &prec, &aos);
         aps[difficulty] = ap11(prec);
+        if (metric == 0) aos_aps[difficulty] = ap11(aos);
         for (int i = 0; i < N_SAMPLE_PTS; ++i)
           stats << prec[i] << (i + 1 < N_SAMPLE_PTS ? ' ' : '\n');
-        if (metric == 0 && difficulty == 2) {
-          // AOS printed once per class after bbox metric
-          double a0, a1, a2;
-          (void)a0; (void)a1; (void)a2;
-        }
       }
       std::printf("%s_%s AP: %.6f %.6f %.6f\n", cls.c_str(),
                   metric_names[metric], aps[0], aps[1], aps[2]);
+      if (metric == 0)
+        std::printf("%s_orientation AP: %.6f %.6f %.6f\n", cls.c_str(),
+                    aos_aps[0], aos_aps[1], aos_aps[2]);
     }
   }
   return 0;

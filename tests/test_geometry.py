@@ -134,3 +134,27 @@ def test_size_codec_roundtrip(rng):
     res_full = jnp.zeros((10, 3, 3)).at[jnp.arange(10), cls].set(enc)
     dec = codecs.size_decode(res_full, mean, cls)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(gt), rtol=1e-5)
+
+
+def test_frozen_cfg_blocks_item_and_attr_writes_and_clone_is_deep():
+    """Freeze guards both attribute AND item assignment (merge machinery
+    writes via d[k]=v), and clone() deep-copies mutable leaves so a clone
+    cannot corrupt the original (ref collections.py:24-65 contract)."""
+    from frustum_convnet_tpu.configs import (assert_and_infer_cfg,
+                                             get_default_cfg,
+                                             merge_cfg_from_list)
+
+    cfg = get_default_cfg()
+    clone = cfg.clone()
+    clone.TRAIN.LR_STEPS.append(40)
+    assert cfg.TRAIN.LR_STEPS == [20]  # original untouched
+
+    merge_cfg_from_list(["MODEL.FILE", "det_base"], cfg)
+    assert_and_infer_cfg(cfg)
+    with pytest.raises(AttributeError):
+        cfg.TRAIN.BATCH_SIZE = 64
+    with pytest.raises(AttributeError):
+        cfg.TRAIN["BATCH_SIZE"] = 64
+    with pytest.raises(AttributeError):
+        # post-freeze merge must not silently succeed either
+        merge_cfg_from_list(["TRAIN.BATCH_SIZE", "64"], cfg)

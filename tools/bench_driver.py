@@ -23,7 +23,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def build_dataset(frames: int, cars: int, cache_root: str):
@@ -58,8 +59,6 @@ def main():
     ap.add_argument("--cache", default="/tmp/fcn_tpu_bench")
     args = ap.parse_args()
 
-    pickle_dir = build_dataset(args.frames, args.cars, args.cache)
-
     from frustum_convnet_tpu.configs import (assert_and_infer_cfg, cfg,
                                              merge_cfg_from_file,
                                              merge_cfg_from_list)
@@ -70,7 +69,10 @@ def main():
                                                      get_model_spec)
     import logging
 
-    merge_cfg_from_file("cfgs/det_sample.yaml")
+    # resolve the config before the (expensive) dataset build, and anchor
+    # the cfg path at the repo root so the script runs from any cwd
+    merge_cfg_from_file(os.path.join(_ROOT, "cfgs", "det_sample.yaml"))
+    pickle_dir = build_dataset(args.frames, args.cars, args.cache)
     merge_cfg_from_list(["DATA.DATA_ROOT", pickle_dir,
                          "TEST.BATCH_SIZE", str(args.batch),
                          "TEST.METHOD", args.method])

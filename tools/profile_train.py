@@ -26,7 +26,7 @@ ITERS = 20
 TRIALS = 3
 
 
-def bench(name, fn, *args, donate=False):
+def bench(name, fn, *args):
     out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
