@@ -235,3 +235,49 @@ def test_grouped_dispatch_small_ladder(workdir, monkeypatch):
     results = test_mod.main(["--cfg", "cfgs/det_sample.yaml", "--gt_dir",
                              gt_dir, "--idx_path", idx_path] + overrides)
     assert results is not None and "car" in results
+
+
+def test_resume_and_finetune_paths(workdir, monkeypatch):
+    """RESUME continues from the checkpointed epoch; resuming a finished run
+    (start_epoch == MAX_EPOCH) takes the fine-tune quirk: epoch counters
+    reset AND the LR schedule restarts at base LR with adam moments kept
+    (ref `train_net_det.py:345-361`)."""
+    import json
+
+    import frustum_convnet_tpu.configs.config as config_mod
+    from frustum_convnet_tpu.engine import train as train_mod
+
+    out_dir = os.path.join(workdir["output_dir"], "resume")
+    base = TINY_OVERRIDES + [
+        "DATA.DATA_ROOT", workdir["pickle_dir"],
+        "OUTPUT_DIR", out_dir,
+    ]
+
+    def run(extra):
+        monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
+        monkeypatch.setattr(train_mod, "cfg", config_mod.cfg, raising=True)
+        train_mod.main(["--cfg", "cfgs/det_sample.yaml"] + base + extra)
+
+    run(["TRAIN.MAX_EPOCH", "2"])
+    final = os.path.join(out_dir, "checkpoints", "model_final.msgpack")
+    assert os.path.exists(final)
+
+    # continue-training resume: 2 -> 4
+    run(["TRAIN.MAX_EPOCH", "4", "RESUME", "True"])
+    log_epochs = []
+    for line in open(os.path.join(out_dir, "tb_logger", "train.jsonl")):
+        rec = json.loads(line)
+        if rec.get("key") == "val/total_loss":
+            log_epochs.append(rec["step"])
+    # first run logged epochs 0..1, the resumed run 2..3 — never re-ran 0..1
+    assert log_epochs == [0, 1, 2, 3], log_epochs
+
+    # fine-tune quirk: resume with MAX_EPOCH == checkpointed epoch
+    run(["TRAIN.MAX_EPOCH", "4", "RESUME", "True"])
+    # counters reset to 0 and trained 4 fresh epochs (logged 0..3 again)
+    log_epochs2 = []
+    for line in open(os.path.join(out_dir, "tb_logger", "train.jsonl")):
+        rec = json.loads(line)
+        if rec.get("key") == "val/total_loss":
+            log_epochs2.append(rec["step"])
+    assert log_epochs2[-4:] == [0, 1, 2, 3], log_epochs2
