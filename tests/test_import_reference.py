@@ -208,3 +208,48 @@ def test_dense_and_bn_mapping_matches_torch():
     y = _bn_eval(y, scale.numpy(), bias.numpy(), mean.numpy(), var.numpy())
     np.testing.assert_allclose(y.transpose(0, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_export_import_roundtrip_is_bit_exact(tmp_path):
+    """ours -> reference .pth -> ours reproduces every param and batch stat
+    exactly (checkpoints interchangeable in both directions)."""
+    import jax
+    import jax.numpy as jnp
+    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+    from frustum_convnet_tpu.data.fixtures import make_batch
+    from frustum_convnet_tpu.engine import checkpoints as ckpt
+    from frustum_convnet_tpu.models.net import FrustumConvNet
+    from frustum_convnet_tpu.models.registry import get_model_spec
+    from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig,
+                                                         init_state,
+                                                         make_optimizer)
+    from frustum_convnet_tpu.configs import merge_cfg_from_file
+    from tools import export_reference_checkpoint as exp
+    from tools import import_reference_checkpoint as imp
+
+    # same experiment config the tools default to
+    cfg = get_default_cfg()
+    merge_cfg_from_file("cfgs/det_sample.yaml", cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec)
+    b = make_batch(spec, batch=2, seed=1, with_labels=False)
+    state = init_state(model, make_optimizer(TrainStepConfig()), {
+        "point_cloud": jnp.asarray(b["point_cloud"]),
+        "one_hot": jnp.asarray(b["one_hot"]),
+        "refs": tuple(jnp.asarray(r) for r in b["refs"]),
+    }, seed=11)
+
+    ours = str(tmp_path / "ours.msgpack")
+    ckpt.save_checkpoint(ours, state, epoch=3)
+    pth = str(tmp_path / "exported.pth")
+    exp.main([ours, pth])
+    back = str(tmp_path / "back.msgpack")
+    imp.main([pth, back])
+
+    payload = ckpt.load_checkpoint(back, state)
+    for a, b_ in zip(jax.tree_util.tree_leaves(payload["params"]),
+                     jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    for a, b_ in zip(jax.tree_util.tree_leaves(payload["batch_stats"]),
+                     jax.tree_util.tree_leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
