@@ -24,6 +24,7 @@ y=t_y-h (`kitti/kitti_util.py:324-359`).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -79,62 +80,92 @@ def frustum_angle_from_box(box2d, calib) -> float:
     return float(-np.arctan2(ray[2], ray[0]))
 
 
-def extract_frustum_data(idx_filename, split, output_filename, data_root,
-                         perturb_box2d=False, augmentX=1,
-                         type_whitelist=("Car",), seed=3):
+def _prep_frame_gt(data_root, split, perturb_box2d, augmentX, type_whitelist,
+                   seed, data_idx):
+    """One frame's frustum records. Module-level + per-frame seeded rng so
+    the output is identical for any worker count / frame order."""
     dataset = KittiObjectDataset(data_root, split)
-    rng = np.random.default_rng(seed)
-    data_idx_list = [int(line.rstrip()) for line in open(idx_filename)]
+    rng = np.random.default_rng((seed, data_idx))
+    calib = dataset.get_calibration(data_idx)
+    objects = dataset.get_label_objects(data_idx)
+    pc_velo = dataset.get_lidar(data_idx)
+    pc_rect = np.zeros_like(pc_velo)
+    pc_rect[:, :3] = calib.velo_to_rect(pc_velo[:, :3])
+    pc_rect[:, 3] = pc_velo[:, 3]
+    img_h, img_w = dataset.get_image_size(data_idx)
+    fov_mask, pts_2d = lidar_in_image_fov_mask(pc_velo, calib, img_h, img_w)
 
     out = {k: [] for k in pickle_io.KITTI_LABELED_FIELDS}
     pos_cnt = all_cnt = 0
-    for data_idx in data_idx_list:
-        calib = dataset.get_calibration(data_idx)
-        objects = dataset.get_label_objects(data_idx)
-        pc_velo = dataset.get_lidar(data_idx)
-        pc_rect = np.zeros_like(pc_velo)
-        pc_rect[:, :3] = calib.velo_to_rect(pc_velo[:, :3])
-        pc_rect[:, 3] = pc_velo[:, 3]
-        img_h, img_w = dataset.get_image_size(data_idx)
-        fov_mask, pts_2d = lidar_in_image_fov_mask(pc_velo, calib, img_h, img_w)
+    for obj in objects:
+        if obj.type not in type_whitelist:
+            continue
+        for _ in range(augmentX):
+            if perturb_box2d:
+                xmin, ymin, xmax, ymax = random_shift_box2d(
+                    obj.box2d, img_h, img_w, 0.1, rng)
+            else:
+                xmin, ymin, xmax, ymax = obj.box2d
+            in_box = (
+                (pts_2d[:, 0] >= xmin) & (pts_2d[:, 0] < xmax)
+                & (pts_2d[:, 1] >= ymin) & (pts_2d[:, 1] < ymax)
+                & fov_mask
+            )
+            pc_in_box = pc_rect[in_box, :]
 
-        for obj in objects:
-            if obj.type not in type_whitelist:
+            corners = kitti_object_corners(obj)
+            label = gnp.points_in_box3d_corners(pc_in_box[:, :3], corners).astype(np.float64)
+
+            # reject small/empty (ref :354)
+            if (obj.box2d[3] - obj.box2d[1]) < 25 or label.sum() == 0:
                 continue
-            for _ in range(augmentX):
-                if perturb_box2d:
-                    xmin, ymin, xmax, ymax = random_shift_box2d(
-                        obj.box2d, img_h, img_w, 0.1, rng)
-                else:
-                    xmin, ymin, xmax, ymax = obj.box2d
-                in_box = (
-                    (pts_2d[:, 0] >= xmin) & (pts_2d[:, 0] < xmax)
-                    & (pts_2d[:, 1] >= ymin) & (pts_2d[:, 1] < ymax)
-                    & fov_mask
-                )
-                pc_in_box = pc_rect[in_box, :]
 
-                corners = kitti_object_corners(obj)
-                label = gnp.points_in_box3d_corners(pc_in_box[:, :3], corners).astype(np.float64)
+            out["id"].append(data_idx)
+            out["box2d"].append(np.array([xmin, ymin, xmax, ymax]))
+            out["box3d"].append(corners)
+            out["points"].append(pc_in_box.astype(np.float32, copy=False))
+            out["seg"].append(label)
+            out["type"].append(obj.type)
+            out["heading"].append(obj.ry)
+            out["size"].append(np.array([obj.l, obj.w, obj.h]))
+            out["frustum_angle"].append(
+                frustum_angle_from_box((xmin, ymin, xmax, ymax), calib))
+            out["gt_box2d"].append(obj.box2d)
+            out["calib"].append(calib.as_dict())
+            pos_cnt += label.sum()
+            all_cnt += pc_in_box.shape[0]
+    return out, pos_cnt, all_cnt
 
-                # reject small/empty (ref :354)
-                if (obj.box2d[3] - obj.box2d[1]) < 25 or label.sum() == 0:
-                    continue
 
-                out["id"].append(data_idx)
-                out["box2d"].append(np.array([xmin, ymin, xmax, ymax]))
-                out["box3d"].append(corners)
-                out["points"].append(pc_in_box.astype(np.float32, copy=False))
-                out["seg"].append(label)
-                out["type"].append(obj.type)
-                out["heading"].append(obj.ry)
-                out["size"].append(np.array([obj.l, obj.w, obj.h]))
-                out["frustum_angle"].append(
-                    frustum_angle_from_box((xmin, ymin, xmax, ymax), calib))
-                out["gt_box2d"].append(obj.box2d)
-                out["calib"].append(calib.as_dict())
-                pos_cnt += label.sum()
-                all_cnt += pc_in_box.shape[0]
+def extract_frustum_data(idx_filename, split, output_filename, data_root,
+                         perturb_box2d=False, augmentX=1,
+                         type_whitelist=("Car",), seed=3, workers=1):
+    """Stage-1 GT frustum extraction (ref `prepare_data.py:260-389`).
+
+    ``workers > 1`` fans the per-frame work over a process pool — the prep
+    is the reference pipeline's hours-scale CPU step (SURVEY §3.4); frames
+    are independent and the per-frame rng keying makes the output identical
+    for any worker count.
+    """
+    data_idx_list = [int(line.rstrip()) for line in open(idx_filename)]
+    work = functools.partial(_prep_frame_gt, data_root, split, perturb_box2d,
+                             augmentX, tuple(type_whitelist), seed)
+    if workers > 1:
+        import multiprocessing as mp
+        # spawn, not fork: the host process may have live JAX/XLA threads
+        # (fork would risk deadlock); everything passed is picklable
+        with mp.get_context("spawn").Pool(workers) as pool:
+            results = pool.map(work, data_idx_list, chunksize=16)
+    else:
+        results = [work(i) for i in data_idx_list]
+
+    out = {k: [] for k in pickle_io.KITTI_LABELED_FIELDS}
+    pos_cnt = all_cnt = 0
+    for frame_out, p, a in results:
+        for k in out:
+            out[k].extend(frame_out[k])
+        pos_cnt += p
+        all_cnt += a
 
     n = len(out["id"])
     print(f"total_objects {n}")
@@ -349,6 +380,9 @@ def main(argv=None):
                    help="dir with train.txt/val.txt (default <data_root>/image_sets)")
     p.add_argument("--rgb_det_dir", default=None,
                    help="dir with rgb_detection_{train,val}.txt")
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool size for per-frame extraction "
+                        "(output identical for any worker count)")
     args = p.parse_args(argv)
 
     np.random.seed(3)
@@ -367,19 +401,19 @@ def main(argv=None):
             os.path.join(sets_dir, "train.txt"), "training",
             os.path.join(args.save_dir, f"{prefix}_train.pickle"),
             args.data_root, perturb_box2d=True, augmentX=5,
-            type_whitelist=whitelist)
+            type_whitelist=whitelist, workers=args.workers)
     if args.gen_val:
         extract_frustum_data(
             os.path.join(sets_dir, "val.txt"), "training",
             os.path.join(args.save_dir, f"{prefix}_val.pickle"),
             args.data_root, perturb_box2d=False, augmentX=1,
-            type_whitelist=whitelist)
+            type_whitelist=whitelist, workers=args.workers)
     if args.gen_trainval:
         extract_frustum_data(
             os.path.join(sets_dir, "trainval.txt"), "training",
             os.path.join(args.save_dir, f"{prefix}_trainval.pickle"),
             args.data_root, perturb_box2d=True, augmentX=5,
-            type_whitelist=whitelist)
+            type_whitelist=whitelist, workers=args.workers)
     if args.gen_val_rgb_detection:
         det_dir = args.rgb_det_dir or os.path.join("kitti", "rgb_detections")
         extract_frustum_data_rgb_detection(

@@ -70,7 +70,11 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
         labels = []
         car_clouds = []
         for _ in range(cars_per_frame):
-            cls = classes[int(rng.integers(len(classes)))]
+            # draw a class only for multi-class scenes, so single-class
+            # generation consumes the same rng stream as before the
+            # Pedestrian/Cyclist extension
+            cls = (classes[0] if len(classes) == 1
+                   else classes[int(rng.integers(len(classes)))])
             means, sigmas, typeid = _CLASS_SPECS[cls]
             depth = rng.uniform(8, 35) if cls == "Car" else rng.uniform(5, 20)
             lateral = rng.uniform(-0.25, 0.25) * depth  # keep inside image FOV

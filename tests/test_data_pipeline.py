@@ -295,3 +295,29 @@ def test_people_classes_flow_through_prep_and_provider(tmp_path):
     ds_det = FrustumProvider(cfg, "val", one_hot=True, from_rgb_detection=True)
     item = ds_det.__getitem__(0, rng)
     assert "rgb_prob" in item
+
+
+def test_prep_workers_deterministic(kitti_root, tmp_path):
+    """Parallel prep (--workers) is bit-identical to sequential: per-frame
+    rng keying makes the output independent of worker count."""
+    a = str(tmp_path / "a.pickle")
+    b = str(tmp_path / "b.pickle")
+    train_txt = os.path.join(kitti_root, "image_sets", "train.txt")
+    n1 = extract_frustum_data(train_txt, "training", a, kitti_root,
+                              perturb_box2d=True, augmentX=3,
+                              type_whitelist=("Car",), workers=1)
+    n3 = extract_frustum_data(train_txt, "training", b, kitti_root,
+                              perturb_box2d=True, augmentX=3,
+                              type_whitelist=("Car",), workers=3)
+    assert n1 == n3 > 0
+    da = pickle_io.read_stream_pickle(a, pickle_io.KITTI_LABELED_FIELDS)
+    db = pickle_io.read_stream_pickle(b, pickle_io.KITTI_LABELED_FIELDS)
+    for k in pickle_io.KITTI_LABELED_FIELDS:
+        assert len(da[k]) == len(db[k]), k
+        for x, y in zip(da[k], db[k]):
+            if isinstance(x, dict):
+                for kk in x:
+                    np.testing.assert_array_equal(x[kk], y[kk], err_msg=k)
+            else:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=k)

@@ -22,7 +22,9 @@ from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
 def workdir(tmp_path_factory):
     root = tmp_path_factory.mktemp("e2e")
     kitti_root = str(root / "kitti_raw")
-    make_synthetic_kitti(kitti_root, num_frames=8, cars_per_frame=2, seed=1)
+    # 12 frames: enough val GT boxes that the 41-point AP discriminator in
+    # test_learning_signal_and_ap_beats_random is not dominated by one box
+    make_synthetic_kitti(kitti_root, num_frames=12, cars_per_frame=2, seed=1)
     pickle_dir = str(root / "pickles")
     os.makedirs(pickle_dir)
     extract_frustum_data(
