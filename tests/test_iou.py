@@ -92,3 +92,65 @@ def test_iou_matrix_matches_oracle(rng):
         for j in range(k):
             _, i3d_n = iou_np.rotated_iou_3d_np(c1[i], c2[j])
             np.testing.assert_allclose(mat[i, j], i3d_n, atol=2e-4)
+
+
+def test_near_degenerate_boxes_agree_across_all_implementations(rng):
+    """SURVEY §7 hard-parts: rotated IoU on adversarial near-degenerate
+    configurations — edge-touching, vertex-touching, sliver overlaps,
+    near-identical with epsilon rotation — must agree between the device
+    IoU, the numpy polygon oracle, and the native C++ library."""
+    import jax.numpy as jnp
+    from frustum_convnet_tpu.core import geometry_np as gnp
+    from frustum_convnet_tpu.core import iou_np
+    from frustum_convnet_tpu.core.iou import iou_pair_3d
+    from frustum_convnet_tpu.ops import native
+
+    cases = []
+    # edge-touching (share the x=1 edge exactly)
+    cases.append(((0.0, 0.0, 0.0), (2, 2, 2), 0.0,
+                  (2.0, 0.0, 0.0), (2, 2, 2), 0.0))
+    # vertex-touching (corner contact only)
+    cases.append(((0.0, 0.0, 0.0), (2, 2, 2), 0.0,
+                  (2.0, 0.0, 2.0), (2, 2, 2), 0.0))
+    # epsilon rotation of an identical box
+    cases.append(((0.0, 0.0, 0.0), (4, 2, 1.5), 0.3,
+                  (0.0, 0.0, 0.0), (4, 2, 1.5), 0.3 + 1e-7))
+    # sliver overlap (tiny intersection strip)
+    cases.append(((0.0, 0.0, 0.0), (2, 2, 2), 0.0,
+                  (1.999, 0.0, 0.0), (2, 2, 2), 0.0))
+    # 45-degree cross through the center
+    cases.append(((0.0, 0.0, 0.0), (4, 1, 1), 0.0,
+                  (0.0, 0.0, 0.0), (4, 1, 1), np.pi / 4))
+    # near-flat box (degenerate height)
+    cases.append(((0.0, 0.0, 0.0), (2, 2, 1e-6), 0.1,
+                  (0.1, 0.0, 0.1), (2, 2, 1.0), 0.2))
+    # random near-coincident pairs
+    for _ in range(20):
+        c = rng.uniform(-3, 3, 3)
+        s = rng.uniform(0.5, 3.0, 3)
+        h = rng.uniform(-np.pi, np.pi)
+        cases.append((tuple(c), tuple(s), h,
+                      tuple(c + rng.normal(0, 1e-4, 3)), tuple(s), h + rng.normal(0, 1e-4)))
+
+    A = np.stack([gnp.box3d_corners(np.array(a), np.array(sa), ha)
+                  for a, sa, ha, *_ in cases])
+    B = np.stack([gnp.box3d_corners(np.array(b), np.array(sb), hb)
+                  for *_, b, sb, hb in cases])
+
+    # numpy oracle (slow polygon clip)
+    np_bev = np.array([iou_np.rotated_iou_3d_np(a, b)[0] for a, b in zip(A, B)])
+    np_3d = np.array([iou_np.rotated_iou_3d_np(a, b)[1] for a, b in zip(A, B)])
+    # device (vectorized Sutherland-Hodgman)
+    dev_bev, dev_3d = (np.asarray(x) for x in iou_pair_3d(jnp.asarray(A), jnp.asarray(B)))
+    # native C++ (pair op)
+    nat = native.rbbox_iou_3d_pair(A, B)
+
+    np.testing.assert_allclose(dev_bev, np_bev, atol=2e-4)
+    np.testing.assert_allclose(dev_3d, np_3d, atol=2e-4)
+    np.testing.assert_allclose(nat[:, 0], np_bev, atol=1e-6)
+    np.testing.assert_allclose(nat[:, 1], np_3d, atol=1e-6)
+    # sanity on the hand-constructed cases
+    assert np_3d[0] < 1e-6          # edge touch: zero volume overlap
+    assert np_3d[1] < 1e-6          # vertex touch
+    assert np_3d[2] > 0.999         # epsilon rotation ~ identical
+    assert 0.0 < np_3d[3] < 0.01    # sliver
