@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +23,6 @@ from frustum_convnet_tpu.configs import (assert_and_infer_cfg, cfg,
                                          merge_cfg_from_file, merge_cfg_from_list)
 from frustum_convnet_tpu.core import geometry_np as gnp
 from frustum_convnet_tpu.core.nms import rotate_nms_3d
-from frustum_convnet_tpu.data.provider import collate_batch
 from frustum_convnet_tpu.data.provider_sunrgbd import (
     FrustumSunrgbdProvider, from_prediction_to_label_format)
 from frustum_convnet_tpu.data.sunrgbd.prepare import TYPE_WHITELIST_10
@@ -41,23 +41,35 @@ def corners_from_params(center, size, heading) -> np.ndarray:
     return gnp.box3d_corners(np.asarray(center), np.asarray(size), float(heading))
 
 
-def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger):
-    infer = build_infer_fn(model, spec)
-    n = len(dataset)
-    det_results: dict = {}
-    rng = np.random.default_rng(0)
-    num_batches = (n + batch_size - 1) // batch_size
+def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
+                     num_workers: int = 4, inflight: int = 2):
+    """Streaming SUN-RGBD inference, pipelined like `engine/test.run_test`:
+    BatchLoader worker threads prepare batches ahead; up to ``inflight``
+    dispatches queue on the device while the host post-processes completed
+    ones (dispatch is async; the queue hides per-call latency)."""
+    from collections import deque
 
-    for bi in range(num_batches):
-        idxs = list(range(bi * batch_size, min((bi + 1) * batch_size, n)))
-        idxs_padded = idxs + [idxs[-1]] * (batch_size - len(idxs))
-        items = [dataset.__getitem__(i, rng) for i in idxs_padded]
-        batch = collate_batch(items, spec.num_scales)
-        out = jax.device_get(infer(
+    from frustum_convnet_tpu.engine.loader import BatchLoader
+
+    infer = build_infer_fn(model, spec)
+    det_results: dict = {}
+    loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
+                         drop_last=False, pad_last=True, seed=0,
+                         num_workers=num_workers)
+    num_batches = len(loader)
+    t_start = time.time()
+
+    def dispatch(batch):
+        return infer(
             state.params, state.batch_stats,
             jnp.asarray(batch["point_cloud"]), jnp.asarray(batch["one_hot"]),
-            tuple(jnp.asarray(r) for r in batch["refs"])))
-        rgb_probs = batch.get("rgb_prob", np.ones(batch_size, np.float32)).reshape(-1)
+            tuple(jnp.asarray(r) for r in batch["refs"]))
+
+    def process(out_dev, batch):
+        out = jax.device_get(out_dev)
+        idxs = [int(i) for i in batch["_indices"][:int(batch["_real"])]]
+        rgb_probs = batch.get("rgb_prob",
+                              np.ones(batch_size, np.float32)).reshape(-1)
         rot_angles = batch["rot_angle"].reshape(-1)
 
         for k, gi in enumerate(idxs):
@@ -82,8 +94,21 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger):
                     continue
                 per_cls.append([box2d[0], box2d[1], box2d[2], box2d[3],
                                 tx, ty, tz, l, w, h, ry, float(s)])
+
+    pending: deque = deque()
+    for bi, batch in enumerate(loader.epoch(0)):
+        pending.append((dispatch(batch), batch))
+        while len(pending) >= max(inflight, 1):
+            process(*pending.popleft())
         if (bi + 1) % 20 == 0:
-            logger.info(f"batch {bi + 1}/{num_batches}")
+            rate = (bi + 1) * batch_size / (time.time() - t_start)
+            logger.info(f"batch {bi + 1}/{num_batches}  {rate:.0f} frustums/s")
+    while pending:
+        process(*pending.popleft())
+    n = len(dataset)
+    elapsed = time.time() - t_start
+    logger.info(f"streamed {n} frustums in {elapsed:.2f}s = "
+                f"{n / elapsed:.0f} frustums/s end-to-end")
     return det_results
 
 
