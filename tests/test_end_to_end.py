@@ -283,3 +283,34 @@ def test_resume_and_finetune_paths(workdir, monkeypatch):
         if rec.get("key") == "val/total_loss":
             log_epochs2.append(rec["step"])
     assert log_epochs2[-4:] == [0, 1, 2, 3], log_epochs2
+
+
+def test_eval_mode_early_exit(workdir, monkeypatch):
+    """EVAL_MODE runs one validation pass on loaded weights and exits
+    without training (ref `train_net_det.py:363-365`)."""
+    import json
+
+    import frustum_convnet_tpu.configs.config as config_mod
+    from frustum_convnet_tpu.engine import train as train_mod
+
+    # weights from the resume test's output dir (already trained)
+    ckpt = os.path.join(workdir["output_dir"], "resume", "checkpoints",
+                        "model_final.msgpack")
+    assert os.path.exists(ckpt)
+    out_dir = os.path.join(workdir["output_dir"], "evalmode")
+    overrides = TINY_OVERRIDES + [
+        "DATA.DATA_ROOT", workdir["pickle_dir"],
+        "OUTPUT_DIR", out_dir,
+        "EVAL_MODE", "True", "TRAIN.WEIGHTS", ckpt,
+        "USE_TFBOARD", "True",
+    ]
+    monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
+    monkeypatch.setattr(train_mod, "cfg", config_mod.cfg, raising=True)
+    train_mod.main(["--cfg", "cfgs/det_sample.yaml"] + overrides)
+
+    # no training happened: no checkpoints written to this output dir
+    assert not os.path.exists(os.path.join(out_dir, "checkpoints"))
+    # but the val pass logged its scalars
+    vals = [json.loads(l) for l in
+            open(os.path.join(out_dir, "tb_logger", "train.jsonl"))]
+    assert any(r.get("key", "").startswith("val/") for r in vals)
