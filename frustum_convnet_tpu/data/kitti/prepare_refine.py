@@ -23,6 +23,7 @@ mix-and-matchable with reference artifacts (SURVEY.md "Two-stage plumbing").
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import numpy as np
@@ -77,14 +78,14 @@ def _frame_points_rect(dataset, calib, data_idx):
     return pc_rect[fov_mask]
 
 
-def extract_frustum_data(idx_filename, split, output_filename, data_root,
-                         perturb_box3d=False, augmentX=1,
-                         type_whitelist=("Car",), remove_diff=False, seed=3):
-    """GT path: pseudo-predictions from jittered enlarged GT boxes."""
+def _prep_frame_refine_gt(data_root, split, perturb_box3d, augmentX,
+                          type_whitelist, remove_diff, seed, data_idx):
+    """One frame's refine-stage records (per-frame seeded rng: output is
+    identical for any worker count / frame order)."""
     dataset = KittiObjectDataset(data_root, split)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng((seed, data_idx))
     out = {k: [] for k in pickle_io.REFINE_LABELED_FIELDS}
-    for data_idx in [int(l.rstrip()) for l in open(idx_filename)]:
+    if True:
         calib = dataset.get_calibration(data_idx)
         pc_rect = _frame_points_rect(dataset, calib, data_idx)
         for obj in dataset.get_label_objects(data_idx):
@@ -119,6 +120,32 @@ def extract_frustum_data(idx_filename, split, output_filename, data_root,
                 out["pred_box3d"].append(pred_corners)
                 out["pred_box3d_size"].append(pred[3:6])
                 out["pred_box3d_angle"].append(pred[6])
+    return out
+
+
+def extract_frustum_data(idx_filename, split, output_filename, data_root,
+                         perturb_box3d=False, augmentX=1,
+                         type_whitelist=("Car",), remove_diff=False, seed=3,
+                         workers=1):
+    """GT path: pseudo-predictions from jittered enlarged GT boxes.
+
+    ``workers > 1`` fans per-frame extraction over a spawn-mode process pool
+    (same contract as stage-1 `prepare.extract_frustum_data`).
+    """
+    data_idx_list = [int(l.rstrip()) for l in open(idx_filename)]
+    work = functools.partial(_prep_frame_refine_gt, data_root, split,
+                             perturb_box3d, augmentX, tuple(type_whitelist),
+                             remove_diff, seed)
+    if workers > 1:
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(workers) as pool:
+            results = pool.map(work, data_idx_list, chunksize=16)
+    else:
+        results = [work(i) for i in data_idx_list]
+    out = {k: [] for k in pickle_io.REFINE_LABELED_FIELDS}
+    for frame_out in results:
+        for k in out:
+            out[k].extend(frame_out[k])
     n = len(out["id"])
     print(f"total_objects {n}")
     pickle_io.write_stream_pickle(output_filename, out, pickle_io.REFINE_LABELED_FIELDS)
@@ -227,6 +254,9 @@ def extract_frustum_data_rgb_detection(idx_filename, split, output_filename,
 def main(argv=None):
     p = argparse.ArgumentParser(description="KITTI refine-stage frustum preparation")
     p.add_argument("--gen_train", action="store_true")
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool size for the GT path (output identical "
+                        "for any worker count)")
     p.add_argument("--gen_val", action="store_true")
     p.add_argument("--gen_val_det", action="store_true",
                    help="val pseudo-preds from stage-1 result dir (det assignment)")
@@ -260,7 +290,7 @@ def main(argv=None):
             os.path.join(sets_dir, "train.txt"), "training",
             os.path.join(args.save_dir, f"{prefix}_train.pickle"),
             args.data_root, perturb_box3d=True, augmentX=5,
-            type_whitelist=whitelist)
+            type_whitelist=whitelist, workers=args.workers)
     if args.gen_val:
         extract_frustum_data(
             os.path.join(sets_dir, "val.txt"), "training",

@@ -160,3 +160,26 @@ def test_refine_provider_extend_from_det(setup):
     item = ext.__getitem__(len(base), rng)  # first det-stream record
     assert item["point_cloud"].shape == (128, 3)
     assert "ref_center" in item
+
+
+def test_refine_prep_workers_deterministic(setup, tmp_path):
+    """Parallel refine GT prep is bit-identical to sequential."""
+    from frustum_convnet_tpu.data import pickle_io
+
+    sets = os.path.join(setup["kitti_root"], "image_sets", "train.txt")
+    a, b = str(tmp_path / "a.pickle"), str(tmp_path / "b.pickle")
+    n1 = extract_frustum_data(sets, "training", a, setup["kitti_root"],
+                              perturb_box3d=True, augmentX=2, workers=1)
+    n2 = extract_frustum_data(sets, "training", b, setup["kitti_root"],
+                              perturb_box3d=True, augmentX=2, workers=3)
+    assert n1 == n2 > 0
+    da = pickle_io.read_stream_pickle(a, pickle_io.REFINE_LABELED_FIELDS)
+    db = pickle_io.read_stream_pickle(b, pickle_io.REFINE_LABELED_FIELDS)
+    for k in pickle_io.REFINE_LABELED_FIELDS:
+        for x, y in zip(da[k], db[k]):
+            if isinstance(x, dict):
+                for kk in x:
+                    np.testing.assert_array_equal(x[kk], y[kk], err_msg=k)
+            else:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=k)
