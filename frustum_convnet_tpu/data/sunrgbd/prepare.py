@@ -19,6 +19,7 @@ provider consumes (`datasets/provider_sample_sunrgbd.py:79-111`):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import pickle
 
@@ -58,15 +59,19 @@ def _frustum_angle(calib, box2d) -> float:
     return float(-np.arctan2(center[2], center[0]))
 
 
-def extract_frustum_data(sunrgbd_dir, idx_filename, split, output_filename,
-                         type_whitelist=TYPE_WHITELIST_10, perturb_box2d=False,
-                         augmentX=1, with_down_sample=False, seed=3):
+SUNRGBD_FIELDS = ("id", "box2d", "box3d", "input", "label", "type",
+                  "box3d_heading", "box3d_size", "frustum_angle",
+                  "calib_K", "calib_R")
+
+
+def _prep_frame_sunrgbd(sunrgbd_dir, split, type_whitelist, perturb_box2d,
+                        augmentX, with_down_sample, seed, data_idx):
+    """One frame's frustum records (per-frame seeded rng: output identical
+    for any worker count / frame order)."""
     dataset = SunrgbdObjectDataset(sunrgbd_dir, split)
-    rng = np.random.default_rng(seed)
-    out = {k: [] for k in ("id", "box2d", "box3d", "input", "label", "type",
-                           "box3d_heading", "box3d_size", "frustum_angle",
-                           "calib_K", "calib_R")}
-    for data_idx in [int(l.rstrip()) for l in open(idx_filename)]:
+    rng = np.random.default_rng((seed, data_idx))
+    out = {k: [] for k in SUNRGBD_FIELDS}
+    if True:
         calib = dataset.get_calibration(data_idx)
         objects = dataset.get_label_objects(data_idx)
         pc_ud = dataset.get_pointcloud(data_idx)
@@ -108,6 +113,29 @@ def extract_frustum_data(sunrgbd_dir, idx_filename, split, output_filename,
                 out["frustum_angle"].append(_frustum_angle(calib, box))
                 out["calib_K"].append(calib.K)
                 out["calib_R"].append(calib.Rtilt)
+    return out
+
+
+def extract_frustum_data(sunrgbd_dir, idx_filename, split, output_filename,
+                         type_whitelist=TYPE_WHITELIST_10, perturb_box2d=False,
+                         augmentX=1, with_down_sample=False, seed=3,
+                         workers=1):
+    """SUN-RGBD frustum extraction (ref `sunrgbd/prepare_data.py:132-267`).
+    ``workers > 1`` fans per-frame work over a spawn-mode process pool."""
+    data_idx_list = [int(l.rstrip()) for l in open(idx_filename)]
+    work = functools.partial(_prep_frame_sunrgbd, sunrgbd_dir, split,
+                             tuple(type_whitelist), perturb_box2d, augmentX,
+                             with_down_sample, seed)
+    if workers > 1:
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(workers) as pool:
+            results = pool.map(work, data_idx_list, chunksize=8)
+    else:
+        results = [work(i) for i in data_idx_list]
+    out = {k: [] for k in SUNRGBD_FIELDS}
+    for frame_out in results:
+        for k in out:
+            out[k].extend(frame_out[k])
     n = len(out["id"])
     print(f"total_objects {n}")
     with open(output_filename, "wb") as f:
@@ -226,6 +254,8 @@ def main(argv=None):
     p.add_argument("--val_idx", default="sunrgbd/image_sets/val.txt")
     p.add_argument("--det_file", default="sunrgbd/sunrgbd_2d_det_val.pkl")
     p.add_argument("--num_classes", type=int, choices=(10, 19), default=10)
+    p.add_argument("--workers", type=int, default=1,
+                   help="process-pool size (output identical for any count)")
     args = p.parse_args(argv)
 
     whitelist = TYPE_WHITELIST_10 if args.num_classes == 10 else DET_CLASSES_19[1:]
@@ -234,12 +264,12 @@ def main(argv=None):
         extract_frustum_data(
             args.sunrgbd_dir, args.train_idx, "training",
             os.path.join(args.save_dir, "sunrgbd_train_aug5x.pickle"),
-            whitelist, perturb_box2d=True, augmentX=5)
+            whitelist, perturb_box2d=True, augmentX=5, workers=args.workers)
     if args.gen_val:
         extract_frustum_data(
             args.sunrgbd_dir, args.val_idx, "training",
             os.path.join(args.save_dir, "sunrgbd_val.pickle"),
-            whitelist, perturb_box2d=False, augmentX=1)
+            whitelist, perturb_box2d=False, augmentX=1, workers=args.workers)
     if args.gen_val_rgb_detection:
         extract_frustum_data_rgb_detection(
             args.sunrgbd_dir, args.det_file, "training",

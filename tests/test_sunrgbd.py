@@ -139,3 +139,25 @@ def test_sunrgbd_train_and_test(setup, monkeypatch):
     ] + overrides + ["TEST.WEIGHTS", final, "FROM_RGB_DET", "True"])
     assert isinstance(aps, dict) and len(aps) > 0
     assert os.path.exists(os.path.join(setup["output_dir"], "test", "result", "sunrgbd_ap.json"))
+
+
+def test_sunrgbd_prep_workers_deterministic(setup, tmp_path):
+    """Parallel SUN-RGBD prep is bit-identical to sequential."""
+    from frustum_convnet_tpu.data import pickle_io
+
+    sets = os.path.join(setup["sun_root"], "image_sets", "train.txt")
+    a, b = str(tmp_path / "a.pickle"), str(tmp_path / "b.pickle")
+    n1 = extract_frustum_data(setup["sun_root"], sets, "training", a,
+                              WHITELIST, perturb_box2d=True, augmentX=2,
+                              workers=1)
+    n2 = extract_frustum_data(setup["sun_root"], sets, "training", b,
+                              WHITELIST, perturb_box2d=True, augmentX=2,
+                              workers=3)
+    assert n1 == n2 > 0
+    da = pickle_io.read_dict_pickle(a)
+    db = pickle_io.read_dict_pickle(b)
+    assert set(da) == set(db)
+    for k in da:
+        for x, y in zip(da[k], db[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=k)
