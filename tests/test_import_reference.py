@@ -210,9 +210,12 @@ def test_dense_and_bn_mapping_matches_torch():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_export_import_roundtrip_is_bit_exact(tmp_path):
+@pytest.mark.parametrize("cfg_file", ["cfgs/det_sample.yaml",
+                                      "cfgs/det_sample_sunrgbd.yaml"])
+def test_export_import_roundtrip_is_bit_exact(tmp_path, cfg_file):
     """ours -> reference .pth -> ours reproduces every param and batch stat
-    exactly (checkpoints interchangeable in both directions)."""
+    exactly (checkpoints interchangeable in both directions), for both the
+    4-scale KITTI and 5-scale SUN-RGBD variants."""
     import jax
     import jax.numpy as jnp
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
@@ -227,9 +230,8 @@ def test_export_import_roundtrip_is_bit_exact(tmp_path):
     from tools import export_reference_checkpoint as exp
     from tools import import_reference_checkpoint as imp
 
-    # same experiment config the tools default to
     cfg = get_default_cfg()
-    merge_cfg_from_file("cfgs/det_sample.yaml", cfg)
+    merge_cfg_from_file(cfg_file, cfg)
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec)
     b = make_batch(spec, batch=2, seed=1, with_labels=False)
@@ -242,9 +244,9 @@ def test_export_import_roundtrip_is_bit_exact(tmp_path):
     ours = str(tmp_path / "ours.msgpack")
     ckpt.save_checkpoint(ours, state, epoch=3)
     pth = str(tmp_path / "exported.pth")
-    exp.main([ours, pth])
+    exp.main([ours, pth, "--cfg", cfg_file])
     back = str(tmp_path / "back.msgpack")
-    imp.main([pth, back])
+    imp.main([pth, back, "--cfg", cfg_file])
 
     payload = ckpt.load_checkpoint(back, state)
     for a, b_ in zip(jax.tree_util.tree_leaves(payload["params"]),
