@@ -31,15 +31,42 @@ class AttrDict(dict):
             )
         self[name] = value
 
-    def __setitem__(self, key, value):
-        # item assignment must honor the freeze too (the merge machinery
-        # writes via d[k] = v; a frozen config silently mutable through
-        # items would defeat assert_and_infer_cfg's contract)
+    def _check_mutable(self, what):
         if self.__dict__.get(AttrDict._IMMUTABLE, False):
             raise AttributeError(
-                f"Attempted to set '{key}' on an immutable AttrDict"
-            )
+                f"Attempted to {what} an immutable AttrDict")
+
+    def __setitem__(self, key, value):
+        # every mutating dict entry point must honor the freeze (the merge
+        # machinery writes via d[k] = v; a frozen config silently mutable
+        # through any of these would defeat assert_and_infer_cfg's contract)
+        self._check_mutable(f"set '{key}' on")
         super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        self._check_mutable(f"delete '{key}' from")
+        super().__delitem__(key)
+
+    def update(self, *args, **kwargs):
+        self._check_mutable("update")
+        super().update(*args, **kwargs)
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self._check_mutable(f"setdefault '{key}' on")
+        return super().setdefault(key, default)
+
+    def pop(self, *args, **kwargs):
+        self._check_mutable("pop from")
+        return super().pop(*args, **kwargs)
+
+    def popitem(self):
+        self._check_mutable("pop from")
+        return super().popitem()
+
+    def clear(self):
+        self._check_mutable("clear")
+        super().clear()
 
     def immutable(self, is_immutable: bool) -> None:
         """Recursively (un)freeze this dict and every nested AttrDict."""

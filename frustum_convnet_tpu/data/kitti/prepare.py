@@ -31,7 +31,7 @@ import sys
 import numpy as np
 
 from frustum_convnet_tpu.core import geometry_np as gnp
-from frustum_convnet_tpu.data import pickle_io
+from frustum_convnet_tpu.data import pickle_io, prep_util
 from frustum_convnet_tpu.data.kitti.object import KittiObjectDataset
 
 
@@ -150,22 +150,11 @@ def extract_frustum_data(idx_filename, split, output_filename, data_root,
     data_idx_list = [int(line.rstrip()) for line in open(idx_filename)]
     work = functools.partial(_prep_frame_gt, data_root, split, perturb_box2d,
                              augmentX, tuple(type_whitelist), seed)
-    if workers > 1:
-        import multiprocessing as mp
-        # spawn, not fork: the host process may have live JAX/XLA threads
-        # (fork would risk deadlock); everything passed is picklable
-        with mp.get_context("spawn").Pool(workers) as pool:
-            results = pool.map(work, data_idx_list, chunksize=16)
-    else:
-        results = [work(i) for i in data_idx_list]
-
-    out = {k: [] for k in pickle_io.KITTI_LABELED_FIELDS}
-    pos_cnt = all_cnt = 0
-    for frame_out, p, a in results:
-        for k in out:
-            out[k].extend(frame_out[k])
-        pos_cnt += p
-        all_cnt += a
+    results = prep_util.parallel_map_frames(work, data_idx_list, workers)
+    out = prep_util.merge_frame_outputs(
+        [r[0] for r in results], pickle_io.KITTI_LABELED_FIELDS)
+    pos_cnt = sum(r[1] for r in results)
+    all_cnt = sum(r[2] for r in results)
 
     n = len(out["id"])
     print(f"total_objects {n}")

@@ -30,7 +30,7 @@ import numpy as np
 
 from frustum_convnet_tpu.core import geometry_np as gnp
 from frustum_convnet_tpu.core.iou_np import rotated_iou_3d_np
-from frustum_convnet_tpu.data import pickle_io
+from frustum_convnet_tpu.data import pickle_io, prep_util
 from frustum_convnet_tpu.data.kitti.calib import read_label
 from frustum_convnet_tpu.data.kitti.object import KittiObjectDataset
 from frustum_convnet_tpu.data.kitti.prepare import (frustum_angle_from_box,
@@ -85,41 +85,40 @@ def _prep_frame_refine_gt(data_root, split, perturb_box3d, augmentX,
     dataset = KittiObjectDataset(data_root, split)
     rng = np.random.default_rng((seed, data_idx))
     out = {k: [] for k in pickle_io.REFINE_LABELED_FIELDS}
-    if True:
-        calib = dataset.get_calibration(data_idx)
-        pc_rect = _frame_points_rect(dataset, calib, data_idx)
-        for obj in dataset.get_label_objects(data_idx):
-            if obj.type not in type_whitelist:
+    calib = dataset.get_calibration(data_idx)
+    pc_rect = _frame_points_rect(dataset, calib, data_idx)
+    for obj in dataset.get_label_objects(data_idx):
+        if obj.type not in type_whitelist:
+            continue
+        if remove_diff and (obj.occlusion > 2 or obj.truncation > 0.5
+                            or obj.box2d[3] - obj.box2d[1] < 25):
+            continue
+        obj_array = obj_to_center_array(obj)
+        gt_corners = center_array_corners(obj_array)
+        enlarge = obj_array.copy()
+        enlarge[3:6] *= ENLARGE_RATIO
+        for _ in range(augmentX):
+            pred = (random_shift_rotate_box3d(enlarge, 0.05, rng)
+                    if perturb_box3d else enlarge)
+            pred_corners = center_array_corners(pred)
+            in_cuboid = gnp.points_in_box3d_corners(pc_rect[:, :3], pred_corners)
+            pc_in = pc_rect[in_cuboid]
+            label = gnp.points_in_box3d_corners(pc_in[:, :3], gt_corners).astype(np.float64)
+            if label.sum() == 0:
                 continue
-            if remove_diff and (obj.occlusion > 2 or obj.truncation > 0.5
-                                or obj.box2d[3] - obj.box2d[1] < 25):
-                continue
-            obj_array = obj_to_center_array(obj)
-            gt_corners = center_array_corners(obj_array)
-            enlarge = obj_array.copy()
-            enlarge[3:6] *= ENLARGE_RATIO
-            for _ in range(augmentX):
-                pred = (random_shift_rotate_box3d(enlarge, 0.05, rng)
-                        if perturb_box3d else enlarge)
-                pred_corners = center_array_corners(pred)
-                in_cuboid = gnp.points_in_box3d_corners(pc_rect[:, :3], pred_corners)
-                pc_in = pc_rect[in_cuboid]
-                label = gnp.points_in_box3d_corners(pc_in[:, :3], gt_corners).astype(np.float64)
-                if label.sum() == 0:
-                    continue
-                out["id"].append(data_idx)
-                out["box3d"].append(gt_corners)
-                out["points"].append(pc_in.astype(np.float32, copy=False))
-                out["seg"].append(label)
-                out["type"].append(obj.type)
-                out["heading"].append(obj.ry)
-                out["size"].append(np.array([obj.l, obj.w, obj.h]))
-                out["frustum_angle"].append(float(-np.arctan2(pred[2], pred[0])))
-                out["box2d"].append(obj.box2d)
-                out["calib"].append(calib.as_dict())
-                out["pred_box3d"].append(pred_corners)
-                out["pred_box3d_size"].append(pred[3:6])
-                out["pred_box3d_angle"].append(pred[6])
+            out["id"].append(data_idx)
+            out["box3d"].append(gt_corners)
+            out["points"].append(pc_in.astype(np.float32, copy=False))
+            out["seg"].append(label)
+            out["type"].append(obj.type)
+            out["heading"].append(obj.ry)
+            out["size"].append(np.array([obj.l, obj.w, obj.h]))
+            out["frustum_angle"].append(float(-np.arctan2(pred[2], pred[0])))
+            out["box2d"].append(obj.box2d)
+            out["calib"].append(calib.as_dict())
+            out["pred_box3d"].append(pred_corners)
+            out["pred_box3d_size"].append(pred[3:6])
+            out["pred_box3d_angle"].append(pred[6])
     return out
 
 
@@ -136,16 +135,9 @@ def extract_frustum_data(idx_filename, split, output_filename, data_root,
     work = functools.partial(_prep_frame_refine_gt, data_root, split,
                              perturb_box3d, augmentX, tuple(type_whitelist),
                              remove_diff, seed)
-    if workers > 1:
-        import multiprocessing as mp
-        with mp.get_context("spawn").Pool(workers) as pool:
-            results = pool.map(work, data_idx_list, chunksize=16)
-    else:
-        results = [work(i) for i in data_idx_list]
-    out = {k: [] for k in pickle_io.REFINE_LABELED_FIELDS}
-    for frame_out in results:
-        for k in out:
-            out[k].extend(frame_out[k])
+    results = prep_util.parallel_map_frames(work, data_idx_list, workers)
+    out = prep_util.merge_frame_outputs(results,
+                                        pickle_io.REFINE_LABELED_FIELDS)
     n = len(out["id"])
     print(f"total_objects {n}")
     pickle_io.write_stream_pickle(output_filename, out, pickle_io.REFINE_LABELED_FIELDS)

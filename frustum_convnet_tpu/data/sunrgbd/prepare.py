@@ -26,6 +26,7 @@ import pickle
 import numpy as np
 
 from frustum_convnet_tpu.core import geometry_np as gnp
+from frustum_convnet_tpu.data import prep_util
 from frustum_convnet_tpu.data.sunrgbd.calib import (compute_box3d_upright_depth,
                                                     random_shift_box2d)
 from frustum_convnet_tpu.data.sunrgbd.object import SunrgbdObjectDataset
@@ -71,48 +72,47 @@ def _prep_frame_sunrgbd(sunrgbd_dir, split, type_whitelist, perturb_box2d,
     dataset = SunrgbdObjectDataset(sunrgbd_dir, split)
     rng = np.random.default_rng((seed, data_idx))
     out = {k: [] for k in SUNRGBD_FIELDS}
-    if True:
-        calib = dataset.get_calibration(data_idx)
-        objects = dataset.get_label_objects(data_idx)
-        pc_ud = dataset.get_pointcloud(data_idx)
-        pc_uc = np.zeros_like(pc_ud)
-        pc_uc[:, :3] = calib.upright_depth_to_upright_camera(pc_ud[:, :3])
-        pc_uc[:, 3:] = pc_ud[:, 3:]
-        if with_down_sample:
-            keep = down_sample(pc_uc[:, :3])
-            pc_uc, pc_ud = pc_uc[keep], pc_ud[keep]
-        img_coords, _ = calib.upright_depth_to_image(pc_ud)
+    calib = dataset.get_calibration(data_idx)
+    objects = dataset.get_label_objects(data_idx)
+    pc_ud = dataset.get_pointcloud(data_idx)
+    pc_uc = np.zeros_like(pc_ud)
+    pc_uc[:, :3] = calib.upright_depth_to_upright_camera(pc_ud[:, :3])
+    pc_uc[:, 3:] = pc_ud[:, 3:]
+    if with_down_sample:
+        keep = down_sample(pc_uc[:, :3])
+        pc_uc, pc_ud = pc_uc[keep], pc_ud[keep]
+    img_coords, _ = calib.upright_depth_to_image(pc_ud)
 
-        for obj in objects:
-            if obj.classname not in type_whitelist:
+    for obj in objects:
+        if obj.classname not in type_whitelist:
+            continue
+        for _ in range(augmentX):
+            box = (random_shift_box2d(obj.box2d, 0.1, rng)
+                   if perturb_box2d else obj.box2d)
+            xmin, ymin, xmax, ymax = box
+            in_box = ((img_coords[:, 0] >= xmin) & (img_coords[:, 0] < xmax)
+                      & (img_coords[:, 1] >= ymin) & (img_coords[:, 1] < ymax))
+            pc_in = pc_uc[in_box]
+            if len(pc_in) > MAX_POINTS_PER_FRUSTUM:
+                sel = rng.choice(len(pc_in), MAX_POINTS_PER_FRUSTUM, replace=False)
+                pc_in = pc_in[sel]
+            corners_ud = compute_box3d_upright_depth(obj)
+            corners = calib.upright_depth_to_upright_camera(corners_ud)
+            label = gnp.points_in_box3d_corners(pc_in[:, :3], _reorder(corners)).astype(np.float64)
+            if label.sum() < MIN_FG_POINTS:
                 continue
-            for _ in range(augmentX):
-                box = (random_shift_box2d(obj.box2d, 0.1, rng)
-                       if perturb_box2d else obj.box2d)
-                xmin, ymin, xmax, ymax = box
-                in_box = ((img_coords[:, 0] >= xmin) & (img_coords[:, 0] < xmax)
-                          & (img_coords[:, 1] >= ymin) & (img_coords[:, 1] < ymax))
-                pc_in = pc_uc[in_box]
-                if len(pc_in) > MAX_POINTS_PER_FRUSTUM:
-                    sel = rng.choice(len(pc_in), MAX_POINTS_PER_FRUSTUM, replace=False)
-                    pc_in = pc_in[sel]
-                corners_ud = compute_box3d_upright_depth(obj)
-                corners = calib.upright_depth_to_upright_camera(corners_ud)
-                label = gnp.points_in_box3d_corners(pc_in[:, :3], _reorder(corners)).astype(np.float64)
-                if label.sum() < MIN_FG_POINTS:
-                    continue
-                out["id"].append(data_idx)
-                out["box2d"].append(np.asarray(box))
-                out["box3d"].append(corners)
-                out["input"].append(pc_in.astype(np.float32, copy=False))
-                out["label"].append(label)
-                out["type"].append(obj.classname)
-                out["box3d_heading"].append(obj.heading_angle)
-                # stored sizes are FULL dimensions (2x the label half-sizes)
-                out["box3d_size"].append(np.array([obj.l, obj.w, obj.h]) * 2.0)
-                out["frustum_angle"].append(_frustum_angle(calib, box))
-                out["calib_K"].append(calib.K)
-                out["calib_R"].append(calib.Rtilt)
+            out["id"].append(data_idx)
+            out["box2d"].append(np.asarray(box))
+            out["box3d"].append(corners)
+            out["input"].append(pc_in.astype(np.float32, copy=False))
+            out["label"].append(label)
+            out["type"].append(obj.classname)
+            out["box3d_heading"].append(obj.heading_angle)
+            # stored sizes are FULL dimensions (2x the label half-sizes)
+            out["box3d_size"].append(np.array([obj.l, obj.w, obj.h]) * 2.0)
+            out["frustum_angle"].append(_frustum_angle(calib, box))
+            out["calib_K"].append(calib.K)
+            out["calib_R"].append(calib.Rtilt)
     return out
 
 
@@ -126,16 +126,9 @@ def extract_frustum_data(sunrgbd_dir, idx_filename, split, output_filename,
     work = functools.partial(_prep_frame_sunrgbd, sunrgbd_dir, split,
                              tuple(type_whitelist), perturb_box2d, augmentX,
                              with_down_sample, seed)
-    if workers > 1:
-        import multiprocessing as mp
-        with mp.get_context("spawn").Pool(workers) as pool:
-            results = pool.map(work, data_idx_list, chunksize=8)
-    else:
-        results = [work(i) for i in data_idx_list]
-    out = {k: [] for k in SUNRGBD_FIELDS}
-    for frame_out in results:
-        for k in out:
-            out[k].extend(frame_out[k])
+    results = prep_util.parallel_map_frames(work, data_idx_list, workers,
+                                            chunksize=8)
+    out = prep_util.merge_frame_outputs(results, SUNRGBD_FIELDS)
     n = len(out["id"])
     print(f"total_objects {n}")
     with open(output_filename, "wb") as f:

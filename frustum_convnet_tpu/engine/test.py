@@ -393,25 +393,21 @@ def main(argv=None):
                            overwritten_data_path=cfg.OVER_WRITE_TEST_FILE)
     logger.info(f"test frustums: {len(dataset)}")
 
-    state = load_state_for_test(model, spec, cfg, dataset, logger)
-    det_results = run_test(model, spec, state, dataset, cfg.TEST.BATCH_SIZE,
-                           cfg.TEST.METHOD, logger,
-                           group=cfg.TPU.INFER_GROUP,
-                           inflight=cfg.TPU.INFER_INFLIGHT)
-
     # the empty-file fill is part of the devkit protocol: the evaluator
     # iterates result-dir files, so a frame with no result file is silently
     # excluded (its GT never counted as FNs) and AP inflates. The reference
     # unconditionally opens `kitti/image_sets/<split>.txt` (and crashes if
     # absent, `test_net_det.py:120-123`); we auto-discover the split file
-    # and refuse to evaluate without it.
+    # ONLY next to the dataset's own DATA_ROOT (a cwd-relative fallback
+    # could silently pick a split unrelated to the streamed pickles) and
+    # refuse to evaluate without it — checked BEFORE the inference pass so
+    # a misconfiguration cannot discard a full streaming run.
     idx_path = args.idx_path
     if not idx_path:
         split = cfg.TEST.DATASET.replace("_rgb_detection", "")
-        for cand in (os.path.join(cfg.DATA.DATA_ROOT, "..", "image_sets",
+        for cand in (os.path.join(cfg.DATA.DATA_ROOT, "image_sets",
                                   f"{split}.txt"),
-                     os.path.join("kitti", "image_sets", f"{split}.txt"),
-                     os.path.join("data", "kitti", "image_sets",
+                     os.path.join(cfg.DATA.DATA_ROOT, "..", "image_sets",
                                   f"{split}.txt")):
             if os.path.exists(cand):
                 idx_path = cand
@@ -426,6 +422,12 @@ def main(argv=None):
             "--idx_path <image_sets/{split}.txt>; evaluating without it "
             "excludes zero-detection frames from AP (devkit iterates "
             "result-dir files)")
+
+    state = load_state_for_test(model, spec, cfg, dataset, logger)
+    det_results = run_test(model, spec, state, dataset, cfg.TEST.BATCH_SIZE,
+                           cfg.TEST.METHOD, logger,
+                           group=cfg.TPU.INFER_GROUP,
+                           inflight=cfg.TPU.INFER_INFLIGHT)
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     data_dir = write_detection_results(result_dir, det_results, split_ids,
                                        nms_threshold=nms_thresh)

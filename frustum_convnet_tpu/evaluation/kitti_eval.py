@@ -281,10 +281,18 @@ def get_thresholds(scores: np.ndarray, n_gt: int) -> np.ndarray:
 
 def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox]],
                cls: str, difficulty: int, metric: int,
-               compute_aos: bool = False):
-    """Precision (and AOS similarity) curve over 41 recall points."""
+               compute_aos: bool = False, ov_cache: Dict | None = None):
+    """Precision (and AOS similarity) curve over 41 recall points.
+
+    ``ov_cache`` (keyed by image id) shares the pairwise overlap matrices
+    across calls — they depend only on the geometry + metric, not on the
+    class or difficulty, so evaluate() passes one cache per metric and the
+    polygon clipping runs once per (image, metric) total.
+    """
     min_overlap = MIN_OVERLAP[cls]
     img_ids = sorted(gt_by_img.keys())
+    if ov_cache is None:
+        ov_cache = {}
 
     cleaned = {}
     cached_ov = {}
@@ -295,9 +303,11 @@ def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox
         dets = det_by_img.get(idx, [])
         ignored_gt, dontcare, ignored_det, n_gt = clean_data(gts, dets, cls, difficulty)
         cleaned[idx] = (ignored_gt, dontcare, ignored_det)
-        # overlaps are threshold-independent: compute once per image and
-        # reuse across the score pass and all 41 recall thresholds
-        cached_ov[idx] = pairwise_overlaps(gts, dets, dontcare, metric)
+        # overlaps are threshold/class/difficulty-independent: computed once
+        # per (image, metric) and reused everywhere
+        if idx not in ov_cache:
+            ov_cache[idx] = pairwise_overlaps(gts, dets, dontcare, metric)
+        cached_ov[idx] = ov_cache[idx]
         total_gt += n_gt
         _, _, _, scores, _ = compute_statistics(
             cls, gts, dets, dontcare, ignored_gt, ignored_det,
@@ -370,6 +380,9 @@ def evaluate(gt_dir: str, result_dir: str, classes=("car",),
         det_by_img[idx] = parse_label_file(f, is_det=True)
 
     metric_names = {0: "detection", 1: "detection_ground", 2: "detection_3d"}
+    # overlap matrices depend only on geometry + metric: one cache per
+    # metric, shared across classes and difficulties
+    metric_caches: Dict[int, Dict] = {m: {} for m in metrics}
     results: Dict[str, Dict] = {}
     for cls in classes:
         cls = cls.lower()
@@ -380,7 +393,8 @@ def evaluate(gt_dir: str, result_dir: str, classes=("car",),
             for difficulty in range(3):
                 prec, aos_c = eval_class(
                     gt_by_img, det_by_img, cls, difficulty, metric,
-                    compute_aos=compute_aos and metric == 0)
+                    compute_aos=compute_aos and metric == 0,
+                    ov_cache=metric_caches[metric])
                 aps.append(ap_from_curve(prec))
                 curves.append(prec)
                 if compute_aos and metric == 0:
@@ -403,26 +417,11 @@ def _plot_pr_curves(result_dir: str, cls: str, metric_name: str,
     (the reference binary emits the same three-difficulty plot via gnuplot,
     `evaluate_object_3d_offline.cpp` saveAndPlotPlots; matplotlib PNG here).
     Silently skipped when matplotlib is unavailable."""
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:
-        return
-    plot_dir = os.path.join(result_dir, "plot")
-    os.makedirs(plot_dir, exist_ok=True)
-    recall = np.linspace(0.0, 1.0, len(curves[0]))
-    fig, ax = plt.subplots()
-    for prec, label in zip(curves, ("Easy", "Moderate", "Hard")):
-        ax.plot(recall, prec, lw=2, label=label)
-    ax.set_xlim(0.0, 1.0)
-    ax.set_ylim(0.0, 1.0)
-    ax.set_xlabel("Recall")
-    ax.set_ylabel("Precision")
-    ax.set_title(f"{cls} {metric_name}")
-    ax.legend(loc="lower left")
-    fig.savefig(os.path.join(plot_dir, f"{cls}_{metric_name}.png"))
-    plt.close(fig)
+    from frustum_convnet_tpu.evaluation.plots import save_pr_plot
+
+    save_pr_plot(os.path.join(result_dir, "plot", f"{cls}_{metric_name}.png"),
+                 f"{cls} {metric_name}", curves,
+                 labels=("Easy", "Moderate", "Hard"))
 
 
 def main(argv=None):

@@ -114,25 +114,13 @@ def dump_pr_curves(recs, precs, result_dir: str) -> None:
     """Per-class PR-curve PNGs under ``result_dir/ap_curves/`` (reference
     behavior, `train/sunrgbd_eval/eval_det.py:210-227`). Silently skipped
     when matplotlib is unavailable."""
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:
-        return
     import os
-    plot_dir = os.path.join(result_dir, "ap_curves")
-    os.makedirs(plot_dir, exist_ok=True)
+
+    from frustum_convnet_tpu.evaluation.plots import save_pr_plot
+
     for cls in sorted(recs):
-        fig, ax = plt.subplots()
-        ax.plot(recs[cls], precs[cls], lw=3)
-        ax.set_xlim(0.0, 1.0)
-        ax.set_ylim(0.0, 1.05)
-        ax.set_xlabel("Recall")
-        ax.set_ylabel("Precision")
-        ax.set_title(cls)
-        fig.savefig(os.path.join(plot_dir, f"{cls}.png"))
-        plt.close(fig)
+        save_pr_plot(os.path.join(result_dir, "ap_curves", f"{cls}.png"),
+                     cls, [precs[cls]], recalls=[recs[cls]])
 
 
 def build_gt_all(sunrgbd_dir: str, idx_list, type_whitelist) -> Dict[str, Dict[int, List[np.ndarray]]]:

@@ -317,24 +317,31 @@ struct ImageData {
 
 void eval_class(const std::vector<ImageData>& imgs, const std::string& cls,
                 int difficulty, int metric, bool compute_aos,
-                std::vector<double>* precision, std::vector<double>* aos) {
+                std::vector<double>* precision, std::vector<double>* aos,
+                std::vector<Overlaps>* ov_cache) {
   const double min_overlap = cls == "car" ? 0.7 : 0.5;
   precision->assign(N_SAMPLE_PTS, 0.0);
   aos->assign(N_SAMPLE_PTS, 0.0);
 
   std::vector<Cleaned> cleaned;
-  std::vector<Overlaps> cached_ov;
   std::vector<double> all_scores;
   int total_gt = 0;
-  for (const auto& im : imgs) {
+  // overlap matrices depend only on geometry + metric: the caller shares
+  // one cache per metric across classes and difficulties
+  const bool fill_cache = ov_cache->size() != imgs.size();
+  if (fill_cache) ov_cache->clear();
+  for (size_t ii = 0; ii < imgs.size(); ++ii) {
+    const auto& im = imgs[ii];
     cleaned.push_back(clean_data(im.gts, im.dets, cls, difficulty));
-    cached_ov.push_back(
-        pairwise_overlaps(im.gts, im.dets, cleaned.back(), metric));
+    if (fill_cache)
+      ov_cache->push_back(
+          pairwise_overlaps(im.gts, im.dets, cleaned.back(), metric));
     total_gt += cleaned.back().n_gt;
     Stats st = compute_statistics(im.gts, im.dets, cleaned.back(), false, metric,
-                                  min_overlap, 0.0, false, cached_ov.back());
+                                  min_overlap, 0.0, false, (*ov_cache)[ii]);
     all_scores.insert(all_scores.end(), st.scores.begin(), st.scores.end());
   }
+  const std::vector<Overlaps>& cached_ov = *ov_cache;
   if (total_gt == 0 || all_scores.empty()) return;
   std::vector<double> thresholds = get_thresholds(all_scores, total_gt);
   std::vector<long> tps(thresholds.size(), 0), fps(thresholds.size(), 0),
@@ -425,9 +432,11 @@ int main(int argc, char** argv) {
       std::ofstream stats(result_dir + "/stats_" + cls + "_" +
                           metric_names[metric] + ".txt");
       double aos_aps[3] = {0, 0, 0};
+      std::vector<Overlaps> ov_cache;  // shared across the 3 difficulties
       for (int difficulty = 0; difficulty < 3; ++difficulty) {
         std::vector<double> prec, aos;
-        eval_class(imgs, cls, difficulty, metric, metric == 0, &prec, &aos);
+        eval_class(imgs, cls, difficulty, metric, metric == 0, &prec, &aos,
+                   &ov_cache);
         aps[difficulty] = ap11(prec);
         if (metric == 0) aos_aps[difficulty] = ap11(aos);
         for (int i = 0; i < N_SAMPLE_PTS; ++i)

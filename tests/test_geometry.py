@@ -156,5 +156,13 @@ def test_frozen_cfg_blocks_item_and_attr_writes_and_clone_is_deep():
     with pytest.raises(AttributeError):
         cfg.TRAIN["BATCH_SIZE"] = 64
     with pytest.raises(AttributeError):
+        cfg.TRAIN.update(BATCH_SIZE=64)
+    with pytest.raises(AttributeError):
+        cfg.TRAIN.setdefault("NEW_KEY", 1)
+    with pytest.raises(AttributeError):
+        cfg.TRAIN.pop("BATCH_SIZE")
+    with pytest.raises(AttributeError):
+        del cfg.TRAIN["BATCH_SIZE"]
+    with pytest.raises(AttributeError):
         # post-freeze merge must not silently succeed either
         merge_cfg_from_list(["TRAIN.BATCH_SIZE", "64"], cfg)
