@@ -19,11 +19,23 @@ from __future__ import annotations
 
 import queue
 import threading
+import traceback
 from typing import Iterator, Optional
 
 import numpy as np
 
 from frustum_convnet_tpu.data.provider import collate_batch
+
+
+class _WorkerError:
+    """A worker's exception, carried across the queue with its traceback
+    (a bare sentinel would swallow the root cause — painful at epoch 37 of
+    a 50-epoch run)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+        self.traceback = "".join(
+            traceback.format_exception(type(exc), exc, exc.__traceback__))
 
 
 class BatchLoader:
@@ -34,7 +46,12 @@ class BatchLoader:
                  pad_last: bool = False, num_workers: int = 1):
         self.dataset = dataset
         self.global_batch = batch_size
-        assert batch_size % process_count == 0, (batch_size, process_count)
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"batch size {batch_size} must be divisible by the process "
+                f"count {process_count}: every host feeds an equal shard of "
+                f"the global batch. Pick TRAIN/TEST.BATCH_SIZE as a multiple "
+                f"of {process_count}.")
         self.local_batch = batch_size // process_count
         self.num_scales = num_scales
         self.shuffle = shuffle
@@ -72,6 +89,21 @@ class BatchLoader:
 
         def make_batch(b: int, item_rng) -> dict:
             sel = order[b * self.global_batch:(b + 1) * self.global_batch]
+            if (not self.pad_last and not self.drop_last
+                    and len(sel) < self.global_batch):
+                # final short batch without padding: a per-host slice could
+                # be empty or host-divergent, so EVERY host loads the full
+                # global tail and evaluates it identically (unsharded) —
+                # val metrics stay host-consistent and no item is dropped
+                # (ref drop_last=False, `train_net_det.py:279-286`).
+                # rng is keyed WITHOUT process_index: item resampling draws
+                # must match across hosts for the metrics to agree.
+                tail_rng = np.random.default_rng((self.seed, epoch, b))
+                batch = collate_batch(
+                    [self.dataset.__getitem__(int(i), tail_rng) for i in sel],
+                    self.num_scales)
+                batch["_global_tail"] = True
+                return batch
             # this host's contiguous sub-shard of the global batch
             lo = self.process_index * self.local_batch
             sel = sel[lo:lo + self.local_batch]
@@ -97,7 +129,9 @@ class BatchLoader:
                     item_rng = np.random.default_rng(
                         (self.seed, epoch, self.process_index, b))
                     queues[w].put(make_batch(b, item_rng))
-            finally:
+            except BaseException as exc:  # propagate with full traceback
+                queues[w].put(_WorkerError(exc))
+            else:
                 queues[w].put(None)
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
@@ -108,6 +142,13 @@ class BatchLoader:
         # queues round-robin reconstructs global batch order exactly
         for b in range(num_batches):
             batch = queues[b % nw].get()
-            if batch is None:  # worker died before finishing its share
-                raise RuntimeError("BatchLoader worker failed")
+            if isinstance(batch, _WorkerError):
+                raise RuntimeError(
+                    f"BatchLoader worker {b % nw} failed while assembling "
+                    f"batch {b} of epoch {epoch}:\n{batch.traceback}"
+                ) from batch.exc
+            if batch is None:  # worker ended before finishing its share
+                raise RuntimeError(
+                    f"BatchLoader worker {b % nw} exited early (expected "
+                    f"batch {b} of {num_batches})")
             yield batch

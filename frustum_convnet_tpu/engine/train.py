@@ -33,7 +33,9 @@ from frustum_convnet_tpu.engine.loader import BatchLoader
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import (get_compute_dtype,
                                                   get_model_spec)
-from frustum_convnet_tpu.parallel.mesh import make_mesh, shard_batch
+from frustum_convnet_tpu.parallel.mesh import (is_chief, make_mesh,
+                                               maybe_initialize_distributed,
+                                               shard_batch)
 from frustum_convnet_tpu.models import det
 from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState,
                                                      build_eval_step,
@@ -72,11 +74,12 @@ BATCH_KEYS = ("point_cloud", "one_hot", "refs", "cls_label", "box3d_center",
 
 
 def device_batch(batch_np: dict, mesh) -> dict:
+    # host numpy straight into shard_batch: single-process it device_puts
+    # with the batch sharding; multi-process it assembles the global array
+    # from each host's local shard
     picked = {k: batch_np[k] for k in BATCH_KEYS if k in batch_np}
-    picked["refs"] = tuple(jnp.asarray(r) for r in picked["refs"])
-    return shard_batch(
-        {k: (v if k == "refs" else jnp.asarray(v)) for k, v in picked.items()}, mesh
-    )
+    picked["refs"] = tuple(picked["refs"])
+    return shard_batch(picked, mesh)
 
 
 def run_epoch_train(step, state, accum, loader, epoch, logger, writer, disp):
@@ -114,17 +117,23 @@ def run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, loader, epoch, logger,
     states = TrainingStates()
     for batch_np in loader.epoch(epoch):
         bsz = len(batch_np["point_cloud"])
-        if bsz == loader.local_batch:
-            batch = device_batch(batch_np, mesh)
-            losses, metrics = eval_fn(state, batch)
-        else:
+        if batch_np.pop("_global_tail", False):
+            # the loader yields the short global tail identically on every
+            # host; it runs unsharded (same inputs, same jit) so the metrics
+            # — and hence best-model selection — stay host-consistent
             picked = {k: batch_np[k] for k in BATCH_KEYS if k in batch_np}
             picked["refs"] = tuple(jnp.asarray(r) for r in picked["refs"])
             batch = {k: (v if k == "refs" else jnp.asarray(v))
                      for k, v in picked.items()}
             losses, metrics = eval_fn_tail(state, batch)
+            weight = bsz  # global item count, counted once
+        else:
+            batch = device_batch(batch_np, mesh)
+            losses, metrics = eval_fn(state, batch)
+            # sharded metrics are means over the GLOBAL batch
+            weight = loader.global_batch
         vals = {k: float(v) for k, v in {**losses, **metrics}.items()}
-        states.update_states(vals, n=bsz)
+        states.update_states(vals, n=weight)
     result = states.get_states()
     logger.info(f"[val] epoch {epoch} " + states.format_states())
     if writer:
@@ -151,9 +160,15 @@ def main(argv=None):
         merge_cfg_from_list(args.opts)
     assert_and_infer_cfg()
 
+    # multi-host bootstrap (env-gated no-op on single host); must precede
+    # the first backend-instantiating jax call below
+    maybe_initialize_distributed()
+    chief = is_chief()
+
     output_dir = cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)
-    logger = get_logger(os.path.join(output_dir, "train.log"))
+    # filesystem writes belong to process 0; other hosts log to console only
+    logger = get_logger(os.path.join(output_dir, "train.log") if chief else None)
     logger.info(f"config: {args.cfg_file} overrides: {args.opts}")
 
     np.random.seed(3)
@@ -178,11 +193,11 @@ def main(argv=None):
                                process_index=pi, process_count=pc,
                                prefetch=cfg.TPU.PREFETCH,
                                num_workers=cfg.NUM_WORKERS)
-    # drop_last=False: best-model selection sees the whole val set
-    # (ref `train_net_det.py:279-286`); multi-host keeps drop_last (a short
-    # global tail cannot be sharded evenly across processes)
+    # drop_last=False: best-model selection sees the whole val set (ref
+    # `train_net_det.py:279-286`); the loader replicates the short global
+    # tail on every host so multi-host metrics stay consistent
     val_loader = BatchLoader(val_ds, cfg.TEST.BATCH_SIZE, spec.num_scales,
-                             shuffle=False, drop_last=pc > 1,
+                             shuffle=False, drop_last=False,
                              process_index=pi, process_count=pc)
     logger.info(f"train {len(train_ds)} frustums / {len(train_loader)} batches; "
                 f"val {len(val_ds)} frustums")
@@ -207,7 +222,8 @@ def main(argv=None):
     # leave NUM_WORKERS daemon threads parked on full prefetched batches
     from frustum_convnet_tpu.data.provider import collate_batch
     ex_rng = np.random.default_rng(0)
-    n_ex = max(int(mesh.size) if mesh is not None else 1, 1)
+    # local example count: the host's shard of a mesh-size global batch
+    n_ex = max(int(mesh.size) // pc if mesh is not None else 1, 1)
     example = collate_batch(
         [train_ds.__getitem__(i % len(train_ds), ex_rng) for i in range(n_ex)],
         spec.num_scales)
@@ -244,12 +260,13 @@ def main(argv=None):
     iou_key = f"IoU_{cfg.IOU_THRESH}"
     accum_keys = det.LOSS_KEYS + det.metric_keys(cfg.IOU_THRESH)
 
-    writer = ScalarWriter(output_dir, "train") if cfg.USE_TFBOARD else None
+    writer = ScalarWriter(output_dir, "train") if (cfg.USE_TFBOARD and chief) else None
 
     # snapshot the resolved config next to the logs for reproducibility —
     # the registry equivalent of the reference's source-file copy
     # (`utils/utils.py:12-25`)
-    save_cfg_snapshot(os.path.join(output_dir, "config_snapshot.yaml"), spec)
+    if chief:
+        save_cfg_snapshot(os.path.join(output_dir, "config_snapshot.yaml"), spec)
 
     if cfg.EVAL_MODE:
         run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, val_loader, 0,
@@ -271,8 +288,9 @@ def main(argv=None):
             best_prec, best_epoch = prec, epoch + 1
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s "
                     f"{iou_key}={prec:.4f} best={best_prec:.4f}@{best_epoch}")
-        ckpt.maybe_save_epoch(output_dir, state, epoch, cfg.TRAIN.MAX_EPOCH,
-                              best_prec, best_epoch, is_best)
+        if chief:  # one writer — on a shared FS all hosts would race
+            ckpt.maybe_save_epoch(output_dir, state, epoch, cfg.TRAIN.MAX_EPOCH,
+                                  best_prec, best_epoch, is_best)
     logger.info(f"training done; best {iou_key}={best_prec:.4f} at epoch {best_epoch}")
 
 

@@ -11,15 +11,69 @@ annotations. Multi-host runs shard the input pipeline by
 The model is a few M parameters, so no tensor/pipeline axes are needed
 (SURVEY.md §2.3); the mesh helper still accepts arbitrary shapes for
 forward-compatibility.
+
+Multi-host runs: call :func:`maybe_initialize_distributed` before any other
+jax API (env-gated, a no-op when unset), shard the input pipeline by
+``jax.process_index()`` (the loader does), and let :func:`shard_batch`
+assemble the per-host shards into global arrays. Writes (checkpoints,
+results, scalars) belong to process 0 — gate them with :func:`is_chief`.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DIST_INITIALIZED = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Env-gated ``jax.distributed.initialize`` — the multi-host bootstrap.
+
+    The reference is single-machine; its entire distributed surface is
+    ``torch.nn.DataParallel`` (`train/train_net_det.py:308-309`). The pod-
+    scale upgrade needs one process per host joined into a global runtime:
+
+    * ``FRUSTUM_COORDINATOR=host:port`` plus ``FRUSTUM_NUM_PROCESSES`` and
+      ``FRUSTUM_PROCESS_ID`` → explicit initialize (CPU/GPU clusters, the
+      2-process integration test);
+    * ``FRUSTUM_DIST=auto`` → argless initialize (TPU pods: coordinator and
+      process ids come from the TPU metadata / cluster scheduler).
+
+    Must run before any jax API that instantiates the backend. Returns True
+    when a multi-process runtime was (already) set up.
+    """
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return True
+    coord = os.environ.get("FRUSTUM_COORDINATOR")
+    auto = os.environ.get("FRUSTUM_DIST", "").lower() == "auto"
+    if not coord and not auto:
+        return False
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # cross-process collectives on the CPU backend need gloo (used by the
+        # localhost integration test; TPU runs take the default ICI path)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["FRUSTUM_NUM_PROCESSES"]),
+            process_id=int(os.environ["FRUSTUM_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+    _DIST_INITIALIZED = True
+    return True
+
+
+def is_chief() -> bool:
+    """True on the process that owns filesystem writes (checkpoints,
+    result files, scalar logs) — all hosts compute, one host records."""
+    return jax.process_index() == 0
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -46,6 +100,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Put a host batch pytree onto the mesh with the batch axis sharded.
+
+    Single-process: a plain sharded ``device_put``. Multi-process: each
+    host's batch is its *local shard* (the loader already split the global
+    batch by ``jax.process_index()``), and
+    ``jax.make_array_from_process_local_data`` assembles the shards into one
+    global array — the host-local ``device_put`` would silently build a
+    wrong (per-host) global batch.
+    """
     s = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)
