@@ -55,14 +55,18 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
     """G stacked batches -> one dispatch, with on-device fg compaction.
 
     Per-dispatch latency and device->host bytes dominate a naive per-batch
-    loop (BENCH_NOTES.md), so the driver scans over a group of G batches in
-    one jitted call and returns, per frustum, only the selected sections
-    packed as (B, S, 8) = [cx, cy, cz, heading, l, w, h, fg_prob] plus the
-    uncapped fg count — ~7x fewer bytes than the full decode. Selection
-    matches `select_foreground_batch`: 'nms' keeps every fg section
-    (first-S in section order; the host re-runs the rare frustum whose fg
-    count exceeds S through the full path, so semantics stay exact),
-    'top' keeps the argmax section.
+    loop (BENCH_NOTES.md), so the driver sends a group of G batches in one
+    jitted call and returns, per frustum, only the selected sections packed
+    as (B, S, 8) = [cx, cy, cz, heading, l, w, h, fg_prob] plus the
+    uncapped fg count — ~7x fewer bytes than the full decode. The G batches
+    are FLATTENED to one (G*B) model batch (not scanned): at the reference
+    serving batch 32 the conv trunk is latency-bound ~10x off MXU peak, and
+    running it at G*32 recovers the large-batch throughput while the
+    user-facing batch size stays 32 (VERDICT r1 weak #4). Selection matches
+    `select_foreground_batch`: 'nms' keeps every fg section (first-S in
+    section order; the host re-runs the rare frustum whose fg count exceeds
+    S through the full path, so semantics stay exact), 'top' keeps the
+    argmax section.
     """
     sel_top = method != "nms"
     # device-side ladder rebuild: the stage-1 ladders are affine in depth
@@ -73,52 +77,49 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
 
     @jax.jit
     def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
-        def one(carry, xs):
-            if z_consts is None:
-                pts, one_hot, refs = xs
-            else:
-                pts, one_hot, rdir, roff = xs
-                refs = tuple(
-                    roff[:, None, :] + rdir[:, None, :] * z[None, :, None]
-                    for z in z_consts)
-            cls_logits, reg = model.apply(
-                {"params": state_params, "batch_stats": state_stats},
-                pts, one_hot, list(refs), train=False)
-            out = decode_outputs(spec, cls_logits, reg, refs[1])
-            probs = out["cls_probs"]  # (B, L, 2)
-            b, length = probs.shape[:2]
-            top = jnp.argmax(probs[:, :, 1], axis=1)  # (B,)
-            if sel_top:
-                sel = top[:, None]  # (B, 1)
-                cnt = jnp.ones((b,), jnp.int32)
-            else:
-                fg = probs[:, :, 1] > probs[:, :, 0]
-                none = ~jnp.any(fg, axis=1)
-                ar = jnp.arange(length, dtype=jnp.int32)
-                fg = fg | (none[:, None] & (ar[None, :] == top[:, None]))
-                key = jnp.where(fg, ar, ar + length)
-                neg, _ = jax.lax.top_k(-key, cap)
-                sel_all = jnp.minimum(-neg, length - 1)  # first-cap fg sections
-                cnt = jnp.sum(fg, axis=1).astype(jnp.int32)
-                slot = jnp.arange(cap, dtype=jnp.int32)
-                sel = jnp.where(slot[None, :] < cnt[:, None], sel_all, 0)
+        g, b = pts_g.shape[:2]
+        flat = lambda x: x.reshape((g * b,) + x.shape[2:])
+        pts, one_hot = flat(pts_g), flat(one_hot_g)
+        if z_consts is None:
+            refs = tuple(flat(r) for r in refs_g)
+        else:
+            rdir, roff = flat(refs_g[0]), flat(refs_g[1])
+            refs = tuple(
+                roff[:, None, :] + rdir[:, None, :] * z[None, :, None]
+                for z in z_consts)
+        cls_logits, reg = model.apply(
+            {"params": state_params, "batch_stats": state_stats},
+            pts, one_hot, list(refs), train=False)
+        out = decode_outputs(spec, cls_logits, reg, refs[1])
+        probs = out["cls_probs"]  # (G*B, L, 2)
+        length = probs.shape[1]
+        top = jnp.argmax(probs[:, :, 1], axis=1)  # (G*B,)
+        if sel_top:
+            sel = top[:, None]  # (G*B, 1)
+            cnt = jnp.ones((g * b,), jnp.int32)
+        else:
+            fg = probs[:, :, 1] > probs[:, :, 0]
+            none = ~jnp.any(fg, axis=1)
+            ar = jnp.arange(length, dtype=jnp.int32)
+            fg = fg | (none[:, None] & (ar[None, :] == top[:, None]))
+            key = jnp.where(fg, ar, ar + length)
+            neg, _ = jax.lax.top_k(-key, cap)
+            sel_all = jnp.minimum(-neg, length - 1)  # first-cap fg sections
+            cnt = jnp.sum(fg, axis=1).astype(jnp.int32)
+            slot = jnp.arange(cap, dtype=jnp.int32)
+            sel = jnp.where(slot[None, :] < cnt[:, None], sel_all, 0)
 
-            def take(x):
-                return jnp.take_along_axis(x, sel[..., None] if x.ndim == 3
-                                           else sel, axis=1)
+        def take(x):
+            return jnp.take_along_axis(x, sel[..., None] if x.ndim == 3
+                                       else sel, axis=1)
 
-            packed = jnp.concatenate([
-                take(out["centers"]),                       # 3
-                take(out["headings"])[..., None],           # 1
-                take(out["sizes"]),                         # 3
-                take(probs[:, :, 1])[..., None],            # 1
-            ], axis=-1)  # (B, S, 8)
-            return carry, (packed, cnt)
-
-        _, (packed, cnt) = jax.lax.scan(
-            one, 0, (pts_g, one_hot_g) + ((refs_g,) if z_consts is None
-                                          else refs_g))
-        return packed, cnt
+        packed = jnp.concatenate([
+            take(out["centers"]),                       # 3
+            take(out["headings"])[..., None],           # 1
+            take(out["sizes"]),                         # 3
+            take(probs[:, :, 1])[..., None],            # 1
+        ], axis=-1)  # (G*B, S, 8)
+        return packed.reshape(g, b, *packed.shape[1:]), cnt.reshape(g, b)
 
     return infer_group
 

@@ -43,6 +43,10 @@ def bench(name, fn, *args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", default="float32",
+                    help="train compute dtype (cfg.TPU.COMPUTE_DTYPE)")
+    ap.add_argument("--metrics", default="1", choices=("0", "1"),
+                    help="compute the per-step IoU metric in the scan step")
     args = ap.parse_args()
 
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
@@ -53,12 +57,15 @@ def main():
         TrainStepConfig, build_eval_step, build_train_step, init_state,
         make_optimizer)
 
+    from frustum_convnet_tpu.models.registry import get_compute_dtype
+
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
-                         "False", "TRAIN.BATCH_SIZE", str(args.batch)], cfg)
+                         "False", "TRAIN.BATCH_SIZE", str(args.batch),
+                         "TPU.COMPUTE_DTYPE", args.dtype], cfg)
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
-    tcfg = TrainStepConfig()
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
+    tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
     tx = make_optimizer(tcfg)
 
     batch_np = make_batch(spec, batch=args.batch, seed=0, with_labels=True)
