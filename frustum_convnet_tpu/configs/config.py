@@ -126,6 +126,11 @@ def _build_default_cfg() -> AttrDict:
     C.TPU.INFER_GROUP = 8  # batches per inference dispatch (engine/test.py)
     C.TPU.INFER_INFLIGHT = 2  # queued device dispatches before host fetch
     C.TPU.DONATE = True  # donate train-state buffers to the jitted step
+    # Monitoring-metric cadence in the train loop: the reference computes the
+    # rotated-IoU metric every step on the CPU (`models/det_base.py:495`);
+    # the rebuild samples it every N steps (metric-free step otherwise).
+    # -1 = every `disp` steps (default), 1 = reference every-step parity.
+    C.TPU.METRIC_INTERVAL = -1
     return C
 
 

@@ -82,23 +82,46 @@ def device_batch(batch_np: dict, mesh) -> dict:
     return shard_batch(picked, mesh)
 
 
-def run_epoch_train(step, state, accum, loader, epoch, logger, writer, disp):
+def run_epoch_train(step, state, accum, loader, epoch, logger, writer, disp,
+                    metric_interval=1):
     """One training epoch with on-device per-iteration stat accumulation.
 
-    Epoch averages cover EVERY step (reference semantics,
+    Loss averages cover EVERY step (reference semantics,
     `train_net_det.py:134-154`) — the accumulator lives on device and is
     fetched once at epoch end; only disp-interval logging syncs mid-epoch.
+
+    ``metric_interval`` samples the monitoring metrics (rotated IoU,
+    accuracies — `det_base.py:478-503` computes them per step on the CPU)
+    every N steps through the metric-carrying compiled step, running the
+    metric-free step otherwise; epoch metric averages cover the sampled
+    steps. 1 = reference every-step parity. The per-step IoU metric costs
+    ~13% of the batch-32 step (21.6 -> 18.8 ms, BENCH_NOTES), which is why
+    the engine defaults the interval to ``cfg.disp``
+    (``cfg.TPU.METRIC_INTERVAL``).
     """
     n_steps = 0
+    n_metric = 0
     for i, batch_np in enumerate(loader.epoch(epoch)):
         batch = device_batch(batch_np, step.mesh) if hasattr(step, "mesh") else batch_np
-        state, accum, losses, metrics = step.fn(state, accum, batch)
+        on_metric = (step.fast_fn is None or metric_interval <= 1
+                     or (i + 1) % metric_interval == 0 or i == 0)
+        if on_metric:
+            state, accum, losses, metrics = step.fn(state, accum, batch)
+            n_metric += 1
+        else:
+            # loss-only step: pass (and donate) just the loss slots of the
+            # accumulator; the metric slots ride along untouched
+            sub = {k: accum[k] for k in step.loss_keys}
+            state, sub, losses, metrics = step.fast_fn(state, sub, batch)
+            accum = {**accum, **sub}
         n_steps += 1
         if (i + 1) % disp == 0 or i == 0:
             vals = {k: float(v) for k, v in {**losses, **metrics}.items()}
             line = " ".join(f"{k} {v:.4f}" for k, v in vals.items())
             logger.info(f"epoch {epoch} it {i + 1}/{len(loader)} {line}")
-    avg = {k: float(v) / max(n_steps, 1) for k, v in jax.device_get(accum).items()}
+    loss_keys = frozenset(step.loss_keys)
+    avg = {k: float(v) / max(n_steps if k in loss_keys else n_metric, 1)
+           for k, v in jax.device_get(accum).items()}
     if writer:
         writer.scalars({f"train/{k}": v for k, v in avg.items()}, epoch)
     return state, avg
@@ -142,11 +165,18 @@ def run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, loader, epoch, logger,
 
 
 class _Step:
-    """Bundles the jitted fn with its mesh for run_epoch_train."""
+    """Bundles the jitted step(s) with their mesh for run_epoch_train.
 
-    def __init__(self, fn, mesh):
+    ``fn`` carries the monitoring metrics; ``fast_fn`` (optional) is the
+    metric-free compilation used between metric samples, whose accumulator
+    pytree holds only ``loss_keys``.
+    """
+
+    def __init__(self, fn, mesh, fast_fn=None, loss_keys=()):
         self.fn = fn
         self.mesh = mesh
+        self.fast_fn = fast_fn
+        self.loss_keys = tuple(loss_keys)
 
 
 def main(argv=None):
@@ -255,6 +285,18 @@ def main(argv=None):
 
     train_fn = build_train_step_accum(model, spec, tx, step_cfg, mesh=mesh,
                                       donate=cfg.TPU.DONATE)
+    # metric cadence: -1 -> sample the monitoring metrics at cfg.disp
+    # intervals (default); 1 -> reference every-step parity; N -> every N.
+    # The metric-free twin step skips the ~23%-of-step IoU block entirely.
+    metric_interval = cfg.TPU.METRIC_INTERVAL
+    if metric_interval < 0:
+        metric_interval = cfg.disp
+    fast_fn = None
+    if metric_interval > 1:
+        import dataclasses as _dc
+        fast_fn = build_train_step_accum(
+            model, spec, tx, _dc.replace(step_cfg, compute_metrics=False),
+            mesh=mesh, donate=cfg.TPU.DONATE)
     eval_fn = build_eval_step(model, spec, step_cfg, mesh=mesh)
     eval_fn_tail = build_eval_step(model, spec, step_cfg, mesh=None)
     iou_key = f"IoU_{cfg.IOU_THRESH}"
@@ -273,14 +315,15 @@ def main(argv=None):
                        logger, writer, iou_key)
         return
 
-    step = _Step(train_fn, mesh)
+    step = _Step(train_fn, mesh, fast_fn=fast_fn, loss_keys=det.LOSS_KEYS)
     for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
         t0 = time.time()
         accum = jax.device_put(init_accum(accum_keys),
                                jax.sharding.NamedSharding(
                                    mesh, jax.sharding.PartitionSpec()))
         state, _ = run_epoch_train(step, state, accum, train_loader, epoch,
-                                   logger, writer, cfg.disp)
+                                   logger, writer, cfg.disp,
+                                   metric_interval=metric_interval)
         prec = run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, val_loader,
                               epoch, logger, writer, iou_key)
         is_best = prec > best_prec
