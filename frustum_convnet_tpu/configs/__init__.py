@@ -4,6 +4,7 @@ from frustum_convnet_tpu.configs.config import (
     merge_cfg_from_file,
     merge_cfg_from_list,
     assert_and_infer_cfg,
+    reset_cfg,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "merge_cfg_from_file",
     "merge_cfg_from_list",
     "assert_and_infer_cfg",
+    "reset_cfg",
 ]

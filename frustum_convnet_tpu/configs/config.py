@@ -143,6 +143,21 @@ def get_default_cfg() -> AttrDict:
     return _build_default_cfg()
 
 
+def reset_cfg() -> AttrDict:
+    """Reset the global ``cfg`` in place to defaults (mutable again).
+
+    The engine CLIs merge into and then freeze the module-global ``cfg``;
+    tools that chain several CLIs in one process (e.g. train then test)
+    call this between stages.
+    """
+    cfg.immutable(False)
+    fresh = _build_default_cfg()
+    cfg.clear()
+    for k, v in fresh.items():
+        cfg[k] = v
+    return cfg
+
+
 def assert_and_infer_cfg(config: AttrDict | None = None, make_immutable: bool = True) -> AttrDict:
     """Finalize a config: resolve FILE aliases, sanity-check, then freeze."""
     c = cfg if config is None else config
