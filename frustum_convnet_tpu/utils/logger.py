@@ -2,9 +2,11 @@
 
 ``get_logger`` mirrors the reference's dual-sink logger
 (`/root/reference/utils/utils.py:70-82`). ``ScalarWriter`` replaces the TF1
-TensorBoard wrapper (`utils/logger.py:12-72`) with a dependency-free JSONL
-scalar log under ``<output_dir>/tb_logger/<tag>.jsonl`` — greppable, and
-trivially convertible to TensorBoard if needed.
+TensorBoard wrapper (`utils/logger.py:12-72`) with two sinks: a greppable
+JSONL scalar log under ``<output_dir>/tb_logger/<tag>.jsonl`` AND real
+TensorBoard event files under ``<output_dir>/tb_logger/<tag>/`` (the
+reference's ``tb_logger/{train,val}`` layout), written by the
+dependency-free encoder in :mod:`frustum_convnet_tpu.utils.tfevents`.
 """
 
 from __future__ import annotations
@@ -36,19 +38,26 @@ def get_logger(log_file: str | None = None, name: str = "frustum_tpu") -> loggin
 
 class ScalarWriter:
     def __init__(self, output_dir: str, tag: str):
+        from frustum_convnet_tpu.utils.tfevents import TFEventWriter
+
         d = os.path.join(output_dir, "tb_logger")
         os.makedirs(d, exist_ok=True)
         self.path = os.path.join(d, f"{tag}.jsonl")
         self._f = open(self.path, "a")
+        self._events = TFEventWriter(os.path.join(d, tag))
 
     def scalar_summary(self, key: str, value: float, step: int):
+        ts = time.time()
         self._f.write(json.dumps(
-            {"step": step, "key": key, "value": float(value), "ts": time.time()}) + "\n")
+            {"step": step, "key": key, "value": float(value), "ts": ts}) + "\n")
+        self._events.scalar(key, value, step, wall_time=ts)
 
     def scalars(self, values: dict, step: int):
         for k, v in values.items():
             self.scalar_summary(k, v, step)
         self._f.flush()
+        self._events.flush()
 
     def close(self):
         self._f.close()
+        self._events.close()
