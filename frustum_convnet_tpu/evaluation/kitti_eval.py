@@ -128,8 +128,15 @@ def _overlap(d: TBox, g: TBox, metric: int) -> float:
 # devkit algorithm
 # ---------------------------------------------------------------------------
 
-def clean_data(gts: List[TBox], dets: List[TBox], cls: str, difficulty: int):
-    """Classify gts/dets into evaluated / ignored / excluded (devkit cleanData)."""
+def clean_data(gts: List[TBox], dets: List[TBox], cls: str, difficulty: int,
+               strict_height: bool = False):
+    """Classify gts/dets into evaluated / ignored / excluded (devkit cleanData).
+
+    ``strict_height`` selects the KITTI-*server* variant's gt gate
+    ``height <= MIN_HEIGHT`` (`evaluate_object.cpp:413`) over the offline
+    binary's ``height < MIN_HEIGHT`` (`evaluate_object_3d_offline.cpp:412`).
+    The detection gate is ``<`` in both variants.
+    """
     ignored_gt, dontcare = [], []
     n_gt = 0
     for g in gts:
@@ -140,10 +147,12 @@ def clean_data(gts: List[TBox], dets: List[TBox], cls: str, difficulty: int):
         else:
             valid_class = -1
         height = g.y2 - g.y1
+        too_small = (height <= MIN_HEIGHT[difficulty] if strict_height
+                     else height < MIN_HEIGHT[difficulty])
         ignore = (
             g.occlusion > MAX_OCCLUSION[difficulty]
             or g.truncation > MAX_TRUNCATION[difficulty]
-            or height < MIN_HEIGHT[difficulty]
+            or too_small
         )
         if valid_class == 1 and not ignore:
             ignored_gt.append(0)
@@ -281,7 +290,8 @@ def get_thresholds(scores: np.ndarray, n_gt: int) -> np.ndarray:
 
 def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox]],
                cls: str, difficulty: int, metric: int,
-               compute_aos: bool = False, ov_cache: Dict | None = None):
+               compute_aos: bool = False, ov_cache: Dict | None = None,
+               strict_height: bool = False):
     """Precision (and AOS similarity) curve over 41 recall points.
 
     ``ov_cache`` (keyed by image id) shares the pairwise overlap matrices
@@ -301,7 +311,8 @@ def eval_class(gt_by_img: Dict[int, List[TBox]], det_by_img: Dict[int, List[TBox
     for idx in img_ids:
         gts = gt_by_img[idx]
         dets = det_by_img.get(idx, [])
-        ignored_gt, dontcare, ignored_det, n_gt = clean_data(gts, dets, cls, difficulty)
+        ignored_gt, dontcare, ignored_det, n_gt = clean_data(
+            gts, dets, cls, difficulty, strict_height=strict_height)
         cleaned[idx] = (ignored_gt, dontcare, ignored_det)
         # overlaps are threshold/class/difficulty-independent: computed once
         # per (image, metric) and reused everywhere
@@ -359,25 +370,69 @@ def ap_from_curve(precision: np.ndarray) -> float:
     return float(np.mean(precision[0::4]) * 100.0)
 
 
+def _det_metric_available(dets_by_img: Dict[int, List[TBox]], cls: str,
+                          metric: int) -> bool:
+    """Server-variant per-class metric gating (`evaluate_object.cpp:144-151`):
+    BEV needs t1/t3 present and w,l > 0; 3D additionally t2 and h > 0."""
+    for dets in dets_by_img.values():
+        for d in dets:
+            if d.type != cls:
+                continue
+            has_ground = (d.t[0] != -1000 and d.t[2] != -1000
+                          and d.w > 0 and d.l > 0)
+            if metric == 1 and has_ground:
+                return True
+            if metric == 2 and has_ground and d.t[1] != -1000 and d.h > 0:
+                return True
+    return False
+
+
 def evaluate(gt_dir: str, result_dir: str, classes=("car",),
-             metrics=(0, 1, 2), compute_aos: bool = True) -> Dict[str, Dict]:
+             metrics=(0, 1, 2), compute_aos: bool = True,
+             protocol: str = "offline") -> Dict[str, Dict]:
     """Evaluate ``result_dir/data/*.txt`` against ``gt_dir/*.txt``.
 
     Returns {class: {metric_name: [AP_easy, AP_mod, AP_hard]}} and writes
     reference-style ``stats_<cls>_detection*.txt`` precision curves.
+
+    ``protocol`` selects between the two devkit binaries the reference ships:
+
+    * ``"offline"`` (`evaluate_object_3d_offline.cpp`, the default): the
+      evaluated image set is discovered from the result dir; gt gate
+      ``height < MIN_HEIGHT``.
+    * ``"server"`` (`evaluate_object.cpp`, the KITTI submission server):
+      every gt image must have a result file (missing => error, mirroring
+      the server abort), gt gate ``height <= MIN_HEIGHT``, and BEV/3D
+      metrics are skipped per class unless some detection of that class
+      carries the full 3D fields (`:144-151`).
     """
+    assert protocol in ("offline", "server"), protocol
+    strict_height = protocol == "server"
     data_dir = os.path.join(result_dir, "data")
-    det_files = sorted(glob.glob(os.path.join(data_dir, "*.txt")))
-    assert det_files, f"no detection files in {data_dir}"
 
     gt_by_img, det_by_img = {}, {}
-    for f in det_files:
-        idx = int(os.path.splitext(os.path.basename(f))[0])
-        gt_path = os.path.join(gt_dir, f"{idx:06d}.txt")
-        if not os.path.exists(gt_path):
-            continue
-        gt_by_img[idx] = parse_label_file(gt_path, is_det=False)
-        det_by_img[idx] = parse_label_file(f, is_det=True)
+    if protocol == "server":
+        gt_files = sorted(glob.glob(os.path.join(gt_dir, "*.txt")))
+        assert gt_files, f"no ground-truth files in {gt_dir}"
+        for g in gt_files:
+            idx = int(os.path.splitext(os.path.basename(g))[0])
+            det_path = os.path.join(data_dir, f"{idx:06d}.txt")
+            if not os.path.exists(det_path):
+                raise FileNotFoundError(
+                    f"missing result file {det_path} (the KITTI server "
+                    f"requires a result file for every test image)")
+            gt_by_img[idx] = parse_label_file(g, is_det=False)
+            det_by_img[idx] = parse_label_file(det_path, is_det=True)
+    else:
+        det_files = sorted(glob.glob(os.path.join(data_dir, "*.txt")))
+        assert det_files, f"no detection files in {data_dir}"
+        for f in det_files:
+            idx = int(os.path.splitext(os.path.basename(f))[0])
+            gt_path = os.path.join(gt_dir, f"{idx:06d}.txt")
+            if not os.path.exists(gt_path):
+                continue
+            gt_by_img[idx] = parse_label_file(gt_path, is_det=False)
+            det_by_img[idx] = parse_label_file(f, is_det=True)
 
     metric_names = {0: "detection", 1: "detection_ground", 2: "detection_3d"}
     # overlap matrices depend only on geometry + metric: one cache per
@@ -388,13 +443,17 @@ def evaluate(gt_dir: str, result_dir: str, classes=("car",),
         cls = cls.lower()
         results[cls] = {}
         for metric in metrics:
+            if (protocol == "server" and metric in (1, 2)
+                    and not _det_metric_available(det_by_img, cls, metric)):
+                continue
             aps = []
             curves = []
             for difficulty in range(3):
                 prec, aos_c = eval_class(
                     gt_by_img, det_by_img, cls, difficulty, metric,
                     compute_aos=compute_aos and metric == 0,
-                    ov_cache=metric_caches[metric])
+                    ov_cache=metric_caches[metric],
+                    strict_height=strict_height)
                 aps.append(ap_from_curve(prec))
                 curves.append(prec)
                 if compute_aos and metric == 0:
@@ -427,12 +486,15 @@ def _plot_pr_curves(result_dir: str, cls: str, metric_name: str,
 def main(argv=None):
     import argparse
 
-    p = argparse.ArgumentParser(description="KITTI offline AP evaluation")
+    p = argparse.ArgumentParser(description="KITTI AP evaluation")
     p.add_argument("gt_dir")
     p.add_argument("result_dir")
     p.add_argument("--classes", nargs="+", default=["car", "pedestrian", "cyclist"])
+    p.add_argument("--protocol", default="offline", choices=("offline", "server"),
+                   help="offline devkit binary (default) or KITTI-server variant")
     args = p.parse_args(argv)
-    evaluate(args.gt_dir, args.result_dir, classes=args.classes)
+    evaluate(args.gt_dir, args.result_dir, classes=args.classes,
+             protocol=args.protocol)
 
 
 if __name__ == "__main__":

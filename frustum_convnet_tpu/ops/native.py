@@ -124,12 +124,18 @@ def rotate_nms_bev(dets: np.ndarray, thresh: float, top_k: int = 300) -> list[in
     return keep[:n].tolist()
 
 
-def evaluate_kitti_native(gt_dir: str, result_dir: str) -> Optional[str]:
-    """Run the native evaluator binary; returns its stdout or None."""
+def evaluate_kitti_native(gt_dir: str, result_dir: str,
+                          protocol: str = "offline") -> Optional[str]:
+    """Run the native evaluator binary; returns its stdout or None.
+
+    ``protocol``: ``"offline"`` (devkit offline binary semantics) or
+    ``"server"`` (KITTI submission-server variant) — see kitti_eval.cc.
+    """
     if not os.path.exists(_EVAL_BIN):
         build_native()
     if not os.path.exists(_EVAL_BIN):
         return None
-    proc = subprocess.run([_EVAL_BIN, gt_dir, result_dir],
+    proc = subprocess.run([_EVAL_BIN, gt_dir, result_dir,
+                           "--protocol", protocol],
                           capture_output=True, text=True)
     return proc.stdout if proc.returncode == 0 else None

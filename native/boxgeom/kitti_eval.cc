@@ -8,9 +8,12 @@
 // (image bbox / BEV / 3D) + AOS, 11-point AP. Geometry is the shared
 // Sutherland-Hodgman clip from boxgeom.cc (fresh implementation).
 //
-// Usage: kitti_eval_tpu <gt_dir> <result_dir>   (results in result_dir/data)
-// Prints "<cls>_detection[_ground|_3d] AP: e m h" and writes
-// stats_<cls>_<metric>.txt precision curves into result_dir.
+// Usage: kitti_eval_tpu <gt_dir> <result_dir> [--protocol offline|server]
+// (results in result_dir/data). Prints "<cls>_detection[_ground|_3d] AP:
+// e m h" and writes stats_<cls>_<metric>.txt precision curves into
+// result_dir. `--protocol server` selects the KITTI submission-server
+// variant (/root/reference/train/kitti_eval/evaluate_object.cpp): strict
+// gt height gate, full-image-set requirement, per-class 3D-field gating.
 
 #include <algorithm>
 #include <cmath>
@@ -154,6 +157,11 @@ struct Cleaned {
   int n_gt = 0;
 };
 
+// KITTI-server protocol variant (`evaluate_object.cpp` vs the offline
+// binary): gt gate `height <= MIN_HEIGHT` instead of `<`; selected by
+// `--protocol server` in main().
+bool g_strict_height = false;
+
 Cleaned clean_data(const std::vector<Box>& gts, const std::vector<Box>& dets,
                    const std::string& cls, int difficulty) {
   Cleaned c;
@@ -163,9 +171,11 @@ Cleaned clean_data(const std::vector<Box>& gts, const std::vector<Box>& dets,
     else if (cls == "car" && g.type == "van") valid = 0;
     else if (cls == "pedestrian" && g.type == "person_sitting") valid = 0;
     else valid = -1;
+    double height = g.y2 - g.y1;
+    bool too_small = g_strict_height ? height <= MIN_HEIGHT[difficulty]
+                                     : height < MIN_HEIGHT[difficulty];
     bool ignore = g.occ > MAX_OCCLUSION[difficulty] ||
-                  g.trunc > MAX_TRUNCATION[difficulty] ||
-                  (g.y2 - g.y1) < MIN_HEIGHT[difficulty];
+                  g.trunc > MAX_TRUNCATION[difficulty] || too_small;
     if (valid == 1 && !ignore) {
       c.ig_gt.push_back(0);
       ++c.n_gt;
@@ -379,43 +389,102 @@ double ap11(const std::vector<double>& prec) {
 
 }  // namespace
 
-int main(int argc, char** argv) {
-  if (argc != 3) {
-    std::fprintf(stderr, "usage: %s <gt_dir> <result_dir>\n", argv[0]);
-    return 1;
-  }
-  const std::string gt_dir = argv[1];
-  const std::string result_dir = argv[2];
-  const std::string data_dir = result_dir + "/data";
+// Server-variant per-class metric gating (`evaluate_object.cpp:144-151`):
+// BEV needs t1/t3 present and w,l > 0; 3D additionally t2 and h > 0.
+bool det_metric_available(const std::vector<ImageData>& imgs,
+                          const std::string& cls, int metric) {
+  for (const auto& im : imgs)
+    for (const auto& d : im.dets) {
+      if (d.type != cls) continue;
+      bool has_ground = d.tx != -1000 && d.tz != -1000 && d.w > 0 && d.l > 0;
+      if (metric == 1 && has_ground) return true;
+      if (metric == 2 && has_ground && d.ty != -1000 && d.h > 0) return true;
+    }
+  return false;
+}
 
-  std::vector<ImageData> imgs;
-  DIR* dir = opendir(data_dir.c_str());
-  if (!dir) {
-    std::fprintf(stderr, "cannot open %s\n", data_dir.c_str());
-    return 1;
-  }
+std::vector<std::string> list_txt(const std::string& dir_path) {
   std::vector<std::string> names;
+  DIR* dir = opendir(dir_path.c_str());
+  if (!dir) {
+    std::fprintf(stderr, "cannot open %s\n", dir_path.c_str());
+    std::exit(1);
+  }
   while (dirent* e = readdir(dir)) {
     std::string n = e->d_name;
     if (n.size() > 4 && n.substr(n.size() - 4) == ".txt") names.push_back(n);
   }
   closedir(dir);
   std::sort(names.begin(), names.end());
-  for (const auto& n : names) {
-    std::string gt_path = gt_dir + "/" + n;
-    std::ifstream probe(gt_path);
-    if (!probe.good()) {
-      // devkit parity: a result file whose ground-truth twin is missing
-      // aborts the evaluation (silently dropping it would delete that
-      // frame's GT from total_gt and inflate AP)
-      std::fprintf(stderr, "ERROR: couldn't read ground truth %s\n",
-                   gt_path.c_str());
-      return 1;
+  return names;
+}
+
+int main(int argc, char** argv) {
+  bool server = false;
+  std::vector<std::string> pos;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    if (a == "--protocol") {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "--protocol needs a value\n");
+        return 1;
+      }
+      std::string v = argv[++i];
+      if (v == "server") server = true;
+      else if (v != "offline") {
+        std::fprintf(stderr, "unknown protocol %s\n", v.c_str());
+        return 1;
+      }
+    } else {
+      pos.push_back(a);
     }
-    ImageData im;
-    im.gts = load_boxes(gt_path, false);
-    im.dets = load_boxes(data_dir + "/" + n, true);
-    imgs.push_back(std::move(im));
+  }
+  if (pos.size() != 2) {
+    std::fprintf(stderr,
+                 "usage: %s <gt_dir> <result_dir> [--protocol offline|server]\n",
+                 argv[0]);
+    return 1;
+  }
+  g_strict_height = server;
+  const std::string gt_dir = pos[0];
+  const std::string result_dir = pos[1];
+  const std::string data_dir = result_dir + "/data";
+
+  std::vector<ImageData> imgs;
+  if (server) {
+    // server protocol: the evaluated set is every ground-truth image and a
+    // result file must exist for each (the submission server aborts on a
+    // missing file, `evaluate_object.cpp:683-706`)
+    for (const auto& n : list_txt(gt_dir)) {
+      std::string det_path = data_dir + "/" + n;
+      std::ifstream probe(det_path);
+      if (!probe.good()) {
+        std::fprintf(stderr, "ERROR: couldn't read result file %s\n",
+                     det_path.c_str());
+        return 1;
+      }
+      ImageData im;
+      im.gts = load_boxes(gt_dir + "/" + n, false);
+      im.dets = load_boxes(det_path, true);
+      imgs.push_back(std::move(im));
+    }
+  } else {
+    for (const auto& n : list_txt(data_dir)) {
+      std::string gt_path = gt_dir + "/" + n;
+      std::ifstream probe(gt_path);
+      if (!probe.good()) {
+        // devkit parity: a result file whose ground-truth twin is missing
+        // aborts the evaluation (silently dropping it would delete that
+        // frame's GT from total_gt and inflate AP)
+        std::fprintf(stderr, "ERROR: couldn't read ground truth %s\n",
+                     gt_path.c_str());
+        return 1;
+      }
+      ImageData im;
+      im.gts = load_boxes(gt_path, false);
+      im.dets = load_boxes(data_dir + "/" + n, true);
+      imgs.push_back(std::move(im));
+    }
   }
   std::fprintf(stderr, "loaded %zu images\n", imgs.size());
 
@@ -428,6 +497,8 @@ int main(int argc, char** argv) {
   for (const std::string cls : {"car", "pedestrian", "cyclist"}) {
     if (!det_classes.count(cls)) continue;
     for (int metric = 0; metric < 3; ++metric) {
+      if (server && metric > 0 && !det_metric_available(imgs, cls, metric))
+        continue;
       double aps[3];
       std::ofstream stats(result_dir + "/stats_" + cls + "_" +
                           metric_names[metric] + ".txt");

@@ -162,7 +162,7 @@ def make_scene(root, seed: int):
     return gt_dir, os.path.join(root, f"s{seed}", "res")
 
 
-def python_eval(gt_dir: str, result_dir: str):
+def python_eval(gt_dir: str, result_dir: str, protocol: str = "offline"):
     """The evaluate() pipeline without its stats/plot file writes."""
     import glob
 
@@ -174,15 +174,21 @@ def python_eval(gt_dir: str, result_dir: str):
             os.path.join(gt_dir, f"{idx:06d}.txt"), is_det=False)
         det_by_img[idx] = kitti_eval.parse_label_file(f, is_det=True)
 
+    strict = protocol == "server"
     out = {}
     for cls in CLASSES:
         cache = [{} for _ in range(3)]
         for metric in range(3):
+            if (strict and metric > 0
+                    and not kitti_eval._det_metric_available(
+                        det_by_img, cls, metric)):
+                continue
             aps, aoss = [], []
             for difficulty in range(3):
                 prec, aos = kitti_eval.eval_class(
                     gt_by_img, det_by_img, cls, difficulty, metric,
-                    compute_aos=metric == 0, ov_cache=cache[metric])
+                    compute_aos=metric == 0, ov_cache=cache[metric],
+                    strict_height=strict)
                 aps.append(kitti_eval.ap_from_curve(prec))
                 if metric == 0:
                     aoss.append(kitti_eval.ap_from_curve(aos))
@@ -192,8 +198,8 @@ def python_eval(gt_dir: str, result_dir: str):
     return out
 
 
-def native_eval(gt_dir: str, result_dir: str):
-    text = native.evaluate_kitti_native(gt_dir, result_dir)
+def native_eval(gt_dir: str, result_dir: str, protocol: str = "offline"):
+    text = native.evaluate_kitti_native(gt_dir, result_dir, protocol=protocol)
     if text is None:
         return None
     out = {}
@@ -203,14 +209,15 @@ def native_eval(gt_dir: str, result_dir: str):
     return out
 
 
+@pytest.mark.parametrize("protocol", ("offline", "server"))
 @pytest.mark.parametrize("seed", range(N_SCENES))
-def test_python_and_native_evaluators_agree(tmp_path_factory, seed):
+def test_python_and_native_evaluators_agree(tmp_path_factory, seed, protocol):
     root = str(tmp_path_factory.mktemp("eval_fuzz"))
     gt_dir, result_dir = make_scene(root, seed=1000 + seed)
-    got_native = native_eval(gt_dir, result_dir)
+    got_native = native_eval(gt_dir, result_dir, protocol=protocol)
     if got_native is None:
         pytest.skip("native kitti_eval binary not built")
-    got_py = python_eval(gt_dir, result_dir)
+    got_py = python_eval(gt_dir, result_dir, protocol=protocol)
     # the native binary only reports classes present among dets; every key it
     # reports must match the python result exactly
     assert got_native, "native evaluator printed nothing"
