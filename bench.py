@@ -18,7 +18,11 @@ logs per-batch forward time on a single ~2018 GPU
 is an estimated reference figure (batch 32 at ~50 ms/batch = 640 frustums/s)
 used to make ``vs_baseline`` meaningful; the BASELINE.json target is >=10x.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; the extra
+"train_throughput" key reports the full train step (fwd + grads + adam +
+sync-BN + per-step metrics) measured with the same on-device scan
+methodology, state carried between iterations, at the reference batch (32)
+and scaled batches.
 
 Set ``BENCH_TRACE_DIR=/tmp/trace`` to additionally capture a ``jax.profiler``
 trace of one timed dispatch per batch size (inspect with xprof/tensorboard);
@@ -40,7 +44,11 @@ import jax.numpy as jnp
 from jax import lax
 
 REF_GPU_FRUSTUMS_PER_SEC = 640.0  # estimated reference GPU throughput (see above)
+# Estimated reference training throughput: the reference trains batch 32 on a
+# single GPU; train step ~3x its forward (~150 ms/batch) => ~213 frustums/s.
+REF_GPU_TRAIN_FRUSTUMS_PER_SEC = 213.0
 BATCHES = (32, 256, 1024)  # reference batch + serving batches (1024 ~ +2% over 256)
+TRAIN_BATCHES = (32, 128, 256)  # reference train batch + scaled batches
 ITERS = 50
 TRIALS = 3
 
@@ -95,6 +103,44 @@ def scan_bench_infer(model, spec, bsz: int, iters: int = ITERS,
     return bsz / best
 
 
+def scan_bench_train(model, spec, bsz: int, iters: int = ITERS,
+                     trials: int = TRIALS) -> float:
+    """Frustums/sec of the full jitted train step at batch ``bsz``.
+
+    Full production step: train-mode forward (BN batch stats) + losses +
+    grads + adam + BN update, per-step metrics at the production default.
+    The step loop runs on device via ``lax.scan`` carrying the real train
+    state between iterations, so successive steps have a true dependency.
+    """
+    from frustum_convnet_tpu.data.fixtures import make_batch
+    from frustum_convnet_tpu.parallel.train_step import (
+        TrainStepConfig, _train_core, init_state, make_optimizer)
+
+    tcfg = TrainStepConfig()
+    tx = make_optimizer(tcfg)
+    batch_np = make_batch(spec, batch=bsz, seed=0, with_labels=True)
+    batch = {k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, (list, tuple))
+                 else jnp.asarray(v)) for k, v in batch_np.items()}
+    state = init_state(model, tx, batch, seed=3)
+    core = _train_core(model, spec, tx, tcfg)
+
+    @jax.jit
+    def step_loop(state):
+        def body(s, _):
+            s2, losses, _ = core(s, batch)
+            return s2, losses["total_loss"]
+        _, ls = lax.scan(body, state, None, length=iters)
+        return ls[-1]
+
+    jax.block_until_ready(step_loop(state))  # compile
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(step_loop(state))  # host fetch fences the dispatch
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return bsz / best
+
+
 def main():
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
     from frustum_convnet_tpu.models.net import FrustumConvNet
@@ -111,6 +157,11 @@ def main():
     for bsz in BATCHES:
         per_batch[bsz] = scan_bench_infer(model, spec, bsz, trace_tag=f"b{bsz}")
 
+    train_model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
+    train_per_batch = {}
+    for bsz in TRAIN_BATCHES:
+        train_per_batch[bsz] = scan_bench_train(train_model, spec, bsz)
+
     best_bsz = max(per_batch, key=per_batch.get)
     frustums_per_sec = per_batch[best_bsz]
     print(json.dumps({
@@ -120,6 +171,14 @@ def main():
         "vs_baseline": round(frustums_per_sec / REF_GPU_FRUSTUMS_PER_SEC, 2),
         "batch": best_bsz,
         "per_batch": {str(k): round(v, 1) for k, v in per_batch.items()},
+        "train_throughput": {
+            "value": round(max(train_per_batch.values()), 1),
+            "unit": "frustums/sec/chip",
+            "vs_baseline": round(max(train_per_batch.values())
+                                 / REF_GPU_TRAIN_FRUSTUMS_PER_SEC, 2),
+            "per_batch": {str(k): round(v, 1)
+                          for k, v in train_per_batch.items()},
+        },
     }))
 
 

@@ -25,6 +25,14 @@ class KittiObjectDataset:
         self.label_dir = os.path.join(self.split_dir, "label_2")
         self.lidar_dir = os.path.join(self.split_dir, "velodyne")
 
+    def __len__(self) -> int:
+        # sample count from the image dir (ref kitti/kitti_object.py
+        # num_samples is split-hardcoded; counting files also covers
+        # synthetic miniatures)
+        import glob
+
+        return len(glob.glob(os.path.join(self.image_dir, "*.png")))
+
     def get_calibration(self, idx: int) -> Calibration:
         return Calibration(os.path.join(self.calib_dir, f"{idx:06d}.txt"))
 
