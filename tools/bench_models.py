@@ -1,12 +1,13 @@
-"""Inference throughput of every supported experiment config on one chip.
+"""Throughput of every supported experiment config on one chip.
 
 bench.py reports the flagship (det_sample). This sweeps all five reference
 configs (`cfgs/*.yaml` — KITTI car/people stage 1, car/people refinement,
 SUN-RGBD) at their own reference shapes (NUM_SAMPLES, strides, MAX_DEPTH)
 and prints a frustums/sec/chip table using the same on-device ``lax.scan``
-methodology as bench.py.
+methodology as bench.py. ``--train`` benches the full training step
+(fwd + grads + adam + sync-BN, carried state) instead of inference.
 
-Usage: python tools/bench_models.py [--iters 30] [--batches 32,256]
+Usage: python tools/bench_models.py [--iters 30] [--batches 32,256] [--train]
 """
 
 from __future__ import annotations
@@ -27,8 +28,8 @@ CFGS = tuple(os.path.join(_ROOT, "cfgs", name) for name in (
 ))
 
 
-def bench_cfg(cfg_file: str, batches, iters: int):
-    from bench import scan_bench_infer
+def bench_cfg(cfg_file: str, batches, iters: int, train: bool = False):
+    from bench import scan_bench_infer, scan_bench_train
     from frustum_convnet_tpu.configs import config as config_mod
     from frustum_convnet_tpu.models.net import FrustumConvNet
     from frustum_convnet_tpu.models.registry import (get_compute_dtype,
@@ -37,10 +38,10 @@ def bench_cfg(cfg_file: str, batches, iters: int):
     cfg = config_mod.get_default_cfg()
     config_mod.merge_cfg_from_file(cfg_file, cfg)
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=train))
 
-    rates = {bsz: scan_bench_infer(model, spec, bsz, iters=iters)
-             for bsz in batches}
+    fn = scan_bench_train if train else scan_bench_infer
+    rates = {bsz: fn(model, spec, bsz, iters=iters) for bsz in batches}
     return spec, rates
 
 
@@ -48,12 +49,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batches", default="32,256")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the full training step instead of inference")
     args = ap.parse_args()
     batches = tuple(int(x) for x in args.batches.split(","))
 
     rows = []
     for cfg_file in CFGS:
-        spec, rates = bench_cfg(cfg_file, batches, args.iters)
+        spec, rates = bench_cfg(cfg_file, batches, args.iters,
+                                train=args.train)
         name = os.path.splitext(os.path.basename(cfg_file))[0]
         shape = (f"N={spec.num_points} scales={spec.num_scales} "
                  f"sections={sum(spec.num_refs)}")
