@@ -26,7 +26,8 @@ from frustum_convnet_tpu.core.nms import rotate_nms_3d
 from frustum_convnet_tpu.data.provider_sunrgbd import (
     FrustumSunrgbdProvider, from_prediction_to_label_format)
 from frustum_convnet_tpu.data.sunrgbd.prepare import TYPE_WHITELIST_10
-from frustum_convnet_tpu.engine.test import build_infer_fn, load_state_for_test
+from frustum_convnet_tpu.engine.test import load_state_for_test
+from frustum_convnet_tpu.models.det import decode_outputs
 from frustum_convnet_tpu.evaluation.sunrgbd_eval import build_gt_all, eval_det
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import (get_compute_dtype,
@@ -41,17 +42,45 @@ def corners_from_params(center, size, heading) -> np.ndarray:
     return gnp.box3d_corners(np.asarray(center), np.asarray(size), float(heading))
 
 
+def build_infer_group_flat_fn(model, spec):
+    """G stacked batches -> ONE flattened (G*B) dispatch, full decode back.
+
+    Same flattening rationale as `engine/test.build_infer_group_fn`: at the
+    reference batch (32) the conv trunk is latency-bound well off MXU peak,
+    so the G batches run as one (G*B) model batch (eval-mode BN has no
+    cross-batch coupling). Unlike the KITTI driver, the SUN-RGBD
+    postprocess scores with the full per-section size probabilities
+    (score = rgb prob + max size prob, ref `test_net_det_sunrgbd.py:229`),
+    so outputs return undecimated, reshaped to (G, B, ...).
+    """
+
+    @jax.jit
+    def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
+        g, b = pts_g.shape[:2]
+        flat = lambda x: x.reshape((g * b,) + x.shape[2:])
+        refs = [flat(r) for r in refs_g]
+        cls_logits, reg = model.apply(
+            {"params": state_params, "batch_stats": state_stats},
+            flat(pts_g), flat(one_hot_g), refs, train=False)
+        out = decode_outputs(spec, cls_logits, reg, refs[1])
+        return {k: v.reshape((g, b) + v.shape[1:]) for k, v in out.items()}
+
+    return infer_group
+
+
 def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
-                     num_workers: int = 4, inflight: int = 2):
+                     num_workers: int = 4, inflight: int = 2, group: int = 8):
     """Streaming SUN-RGBD inference, pipelined like `engine/test.run_test`:
-    BatchLoader worker threads prepare batches ahead; up to ``inflight``
+    BatchLoader worker threads prepare batches ahead; ``group`` batches
+    flatten into one device dispatch (trunk at G*B); up to ``inflight``
     dispatches queue on the device while the host post-processes completed
     ones (dispatch is async; the queue hides per-call latency)."""
     from collections import deque
 
     from frustum_convnet_tpu.engine.loader import BatchLoader
 
-    infer = build_infer_fn(model, spec)
+    group = max(int(group), 1)
+    infer_group = build_infer_group_flat_fn(model, spec)
     det_results: dict = {}
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
@@ -59,14 +88,18 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
     num_batches = len(loader)
     t_start = time.time()
 
-    def dispatch(batch):
-        return infer(
-            state.params, state.batch_stats,
-            jnp.asarray(batch["point_cloud"]), jnp.asarray(batch["one_hot"]),
-            tuple(jnp.asarray(r) for r in batch["refs"]))
+    def dispatch(batches):
+        """<=group host batches -> one stacked dispatch (tail pads by repeat)."""
+        g = len(batches)
+        if g < group:
+            batches = batches + [batches[-1]] * (group - g)
+        pts = jnp.asarray(np.stack([b["point_cloud"] for b in batches]))
+        one_hot = jnp.asarray(np.stack([b["one_hot"] for b in batches]))
+        refs = tuple(jnp.asarray(np.stack([b["refs"][i] for b in batches]))
+                     for i in range(spec.num_scales))
+        return infer_group(state.params, state.batch_stats, pts, one_hot, refs)
 
-    def process(out_dev, batch):
-        out = jax.device_get(out_dev)
+    def process_one(out, batch):
         idxs = [int(i) for i in batch["_indices"][:int(batch["_real"])]]
         rgb_probs = batch.get("rgb_prob",
                               np.ones(batch_size, np.float32)).reshape(-1)
@@ -95,14 +128,25 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
                 per_cls.append([box2d[0], box2d[1], box2d[2], box2d[3],
                                 tx, ty, tz, l, w, h, ry, float(s)])
 
+    def process(out_dev_g, batches):
+        out = jax.device_get(out_dev_g)
+        for j, batch in enumerate(batches):  # padded replicas are not listed
+            process_one({k: v[j] for k, v in out.items()}, batch)
+
     pending: deque = deque()
+    acc: list = []
     for bi, batch in enumerate(loader.epoch(0)):
-        pending.append((dispatch(batch), batch))
-        while len(pending) >= max(inflight, 1):
-            process(*pending.popleft())
-        if (bi + 1) % 20 == 0:
+        acc.append(batch)
+        if len(acc) == group:
+            pending.append((dispatch(acc), acc))
+            acc = []
+            while len(pending) >= max(inflight, 1):
+                process(*pending.popleft())
+        if (bi + 1) % (20 * group) == 0:
             rate = (bi + 1) * batch_size / (time.time() - t_start)
             logger.info(f"batch {bi + 1}/{num_batches}  {rate:.0f} frustums/s")
+    if acc:
+        pending.append((dispatch(acc), acc))
     while pending:
         process(*pending.popleft())
     n = len(dataset)
@@ -157,7 +201,10 @@ def main(argv=None):
 
     state = load_state_for_test(model, spec, cfg, dataset, logger)
     det_results = run_test_sunrgbd(model, spec, state, dataset,
-                                   cfg.TEST.BATCH_SIZE, cfg.TEST.METHOD, logger)
+                                   cfg.TEST.BATCH_SIZE, cfg.TEST.METHOD, logger,
+                                   num_workers=cfg.NUM_WORKERS,
+                                   inflight=cfg.TPU.INFER_INFLIGHT,
+                                   group=cfg.TPU.INFER_GROUP)
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     pred_all = to_corner_results(det_results, nms_thresh)
 
