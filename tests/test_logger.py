@@ -62,6 +62,29 @@ def test_tfevent_writer_roundtrip(tmp_path):
         assert gval == pytest.approx(val, rel=1e-6)
 
 
+def test_jsonl_to_tb_converter(tmp_path):
+    """Historical JSONL-only runs convert to loadable event files."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path)
+    d = os.path.join(out, "tb_logger")
+    os.makedirs(d)
+    with open(os.path.join(d, "val.jsonl"), "w") as f:
+        f.write(json.dumps({"step": 3, "key": "IoU_0.7", "value": 0.5,
+                            "ts": 123.0}) + "\n")
+        f.write(json.dumps({"step": 4, "key": "IoU_0.7", "value": 0.75}) + "\n")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, os.path.join(root, "tools", "jsonl_to_tb.py"),
+                        out], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    got = _load_scalars(os.path.join(d, "val"))
+    assert ("IoU_0.7", 3, 0.5) in got
+    assert ("IoU_0.7", 4, 0.75) in got
+
+
 def test_scalar_writer_dual_sink(tmp_path):
     out = str(tmp_path)
     w = ScalarWriter(out, "train")
