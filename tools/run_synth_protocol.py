@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--tag", default=None, help="output dir suffix")
     ap.add_argument("--cache", default="/tmp/fcn_tpu_protocol")
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--override", nargs=2, action="append", default=[],
+                    metavar=("KEY", "VALUE"),
+                    help="extra cfg override pairs, e.g. "
+                         "--override TRAIN.BATCH_SIZE 128 "
+                         "--override TRAIN.BASE_LR 0.004 (linear-scaling rule)")
     args = ap.parse_args()
 
     kitti_root, pickle_dir = build_dataset(args.frames, args.cars, args.cache,
@@ -81,6 +86,8 @@ def main():
         "TPU.COMPUTE_DTYPE", args.dtype,
         "USE_TFBOARD", "True",
     ]
+    for k, v in args.override:
+        overrides += [k, v]
     cfg_path = os.path.join(_ROOT, "cfgs", "det_sample.yaml")
 
     t0 = time.time()
@@ -104,6 +111,7 @@ def main():
         "dtype": args.dtype,
         "epochs": args.epochs,
         "frames": args.frames,
+        "overrides": args.override,
         "train_seconds": round(train_s, 1),
         "ap": {k: [round(x, 2) for x in v["detection_3d"]]
                for k, v in (results or {}).items()},
