@@ -131,6 +131,11 @@ def _build_default_cfg() -> AttrDict:
     # the rebuild samples it every N steps (metric-free step otherwise).
     # -1 = every `disp` steps (default), 1 = reference every-step parity.
     C.TPU.METRIC_INTERVAL = -1
+    # Analytic BN batch statistics in the PointNet MLPs (train only): stats
+    # come from the layer-input second moment on the MXU instead of a
+    # reduction over the (B, M, K, C) pre-activation. Same math as flax BN
+    # (mean2 - mean^2), different summation order. Off by default.
+    C.TPU.FAST_BN = False
     return C
 
 

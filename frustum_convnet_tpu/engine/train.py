@@ -207,7 +207,8 @@ def main(argv=None):
     logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
+                           fast_bn=cfg.TPU.FAST_BN)
 
     provider_cls = get_provider_class(cfg)
     train_ds = provider_cls(cfg, cfg.TRAIN.DATASET, random_flip=True,

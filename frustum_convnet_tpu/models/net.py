@@ -33,19 +33,90 @@ _kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 
 
-class DenseBNReLU(nn.Module):
-    """1x1 conv + BN + ReLU as a Dense matmul (channels-last)."""
+class _StatsBN(nn.Module):
+    """BatchNorm normalization with *externally supplied* batch statistics.
 
-    features: int
+    Variable layout (params ``scale``/``bias``, batch_stats ``mean``/``var``)
+    and running-average update match ``nn.BatchNorm(momentum=0.9)`` exactly,
+    so a model can switch between this and the stock module per call with a
+    shared variable tree (checkpoints interchange either way).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
+    def __call__(self, y, mean, var):
+        c = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
+        yt = y.astype(jnp.promote_types(jnp.float32, y.dtype))
+        return ((yt - mean) * inv + bias).astype(self.dtype)
+
+
+class DenseBNReLU(nn.Module):
+    """1x1 conv + BN + ReLU as a Dense matmul (channels-last).
+
+    ``fast_stats`` (train mode only) computes the BN batch statistics
+    analytically from the layer *input* instead of reducing over the big
+    (B, M, K, C) pre-activation: for y = xW, E[y] = E[x]W and
+    E[y^2]_c = (W^T E[xx^T] W)_cc, where E[xx^T] is a (Cin, Cin) second
+    moment — one MXU matmul over the already-materialized input. The
+    normalize affine then folds into the producing matmul's epilogue, so
+    the pre-activation is never re-read for statistics. Same
+    mean2 - mean^2 formulation as flax's ``_compute_stats`` — identical
+    math, different summation order (validated within fp tolerance;
+    ``tests/test_fast_bn.py``).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    fast_stats: bool = False
+
+    @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, use_bias=False, kernel_init=_kaiming_normal,
-                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
-        return nn.relu(x)
+        if not (train and self.fast_stats):
+            x = nn.Dense(self.features, use_bias=False,
+                         kernel_init=_kaiming_normal, dtype=self.dtype,
+                         name="Dense_0")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name="BatchNorm_0")(x)
+            return nn.relu(x)
+
+        dense = nn.Dense(self.features, use_bias=False,
+                         kernel_init=_kaiming_normal, dtype=self.dtype,
+                         name="Dense_0")
+        y = dense(x)
+        kernel = dense.variables["params"]["kernel"]
+        # stats in at-least-f32 (mirrors flax _compute_stats' promotion)
+        stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        w = jnp.asarray(kernel, stat_dtype)
+        xf = x.astype(stat_dtype).reshape(-1, x.shape[-1])
+        r = xf.shape[0]
+        mu_x = jnp.mean(xf, axis=0)
+        mean = mu_x @ w
+        # Var[y] per channel via the *centered* input covariance (sync-BN
+        # note: under a sharded batch axis these reductions span the global
+        # batch, same as the stock module's). Centering the (Cin, Cin)
+        # moment before the quadratic form keeps the E[y^2] - E[y]^2
+        # cancellation at covariance-entry scale instead of after the
+        # projection mixes it.
+        cov = (xf.T @ xf) / r - jnp.outer(mu_x, mu_x)
+        var = jnp.sum((cov @ w) * w, axis=0)
+        y = _StatsBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                     name="BatchNorm_0")(y, mean, var)
+        return nn.relu(y)
 
 
 class ConvBNReLU(nn.Module):
@@ -110,6 +181,7 @@ class PointNetScale(nn.Module):
     nsample: int
     use_feature: bool
     dtype: Any = jnp.float32
+    fast_bn: bool = False
 
     @nn.compact
     def __call__(self, points, ref, train: bool, grouped=None):
@@ -124,7 +196,8 @@ class PointNetScale(nn.Module):
         else:
             g, cnt = grouped
         for width in self.mlp:
-            g = DenseBNReLU(width, dtype=self.dtype)(g, train)
+            g = DenseBNReLU(width, dtype=self.dtype,
+                            fast_stats=self.fast_bn)(g, train)
         valid = (cnt > 0)[..., None, None]
         g = jnp.where(valid, g, 0.0)
         return jnp.max(g, axis=2)  # (B, M, mlp[-1])
@@ -142,6 +215,7 @@ class FrustumConvNet(nn.Module):
 
     spec: DetModelSpec
     dtype: Any = jnp.float32
+    fast_bn: bool = False  # cfg.TPU.FAST_BN: analytic BN stats in the MLPs
 
     @nn.compact
     def __call__(self, points, one_hot, refs, train: bool = False):
@@ -167,6 +241,7 @@ class FrustumConvNet(nn.Module):
                 nsample=s.nsamples[i],
                 use_feature=s.use_extra_feature,
                 dtype=self.dtype,
+                fast_bn=self.fast_bn,
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train, grouped=groups[i])
             # append one-hot class vector at every section; cast to the
