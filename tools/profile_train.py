@@ -47,6 +47,8 @@ def main():
                     help="train compute dtype (cfg.TPU.COMPUTE_DTYPE)")
     ap.add_argument("--metrics", default="1", choices=("0", "1"),
                     help="compute the per-step IoU metric in the scan step")
+    ap.add_argument("--fast_bn", action="store_true",
+                    help="analytic BN batch statistics (cfg.TPU.FAST_BN)")
     args = ap.parse_args()
 
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
@@ -64,7 +66,8 @@ def main():
                          "False", "TRAIN.BATCH_SIZE", str(args.batch),
                          "TPU.COMPUTE_DTYPE", args.dtype], cfg)
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
+                           fast_bn=args.fast_bn)
     tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
     tx = make_optimizer(tcfg)
 
