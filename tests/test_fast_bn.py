@@ -108,6 +108,48 @@ print('OK', fwd, worst)
     assert r.stdout.startswith("OK")
 
 
+def test_fast_bn_spmd_train_step():
+    """FAST_BN inside the full sharded train step: the analytic stats reduce
+    over the global batch (sync-BN semantics) and the step matches the
+    stock-BN step within reduction-order tolerance."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from frustum_convnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from frustum_convnet_tpu.parallel.train_step import (
+        TrainStepConfig, build_train_step, init_state, make_optimizer)
+
+    spec, pts, one_hot, refs = _setup()
+    batch = make_batch(spec, batch=8, seed=0, with_labels=True)
+    batch = {k: (tuple(jnp.asarray(x) for x in v)
+                 if isinstance(v, (list, tuple)) else jnp.asarray(v))
+             for k, v in batch.items()}
+    tcfg = TrainStepConfig()
+    tx = make_optimizer(tcfg)
+    mesh = make_mesh()
+
+    ref_model = FrustumConvNet(spec)
+    fast_model = FrustumConvNet(spec, fast_bn=True)
+    state = init_state(ref_model, tx, batch, seed=3)
+
+    step_ref = build_train_step(ref_model, spec, tx, tcfg, mesh=mesh,
+                                donate=False)
+    step_fast = build_train_step(fast_model, spec, tx, tcfg, mesh=mesh,
+                                 donate=False)
+    b = shard_batch(batch, mesh)
+    s_r, losses_r, _ = step_ref(state, b)
+    s_f, losses_f, _ = step_fast(state, b)
+    for k in losses_r:
+        np.testing.assert_allclose(float(losses_f[k]), float(losses_r[k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
+    # batch_stats updated from the same global-batch statistics
+    for a, bb in zip(jax.tree_util.tree_leaves(s_r.batch_stats),
+                     jax.tree_util.tree_leaves(s_f.batch_stats)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_fast_bn_gradients_match():
     spec, pts, one_hot, refs = _setup()
     ref_model = FrustumConvNet(spec)
