@@ -17,6 +17,8 @@ from frustum_convnet_tpu.data.kitti.prepare import (
 )
 from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
 
+pytestmark = pytest.mark.slow  # full-pipeline test: excluded from the quick tier
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

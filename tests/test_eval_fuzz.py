@@ -35,6 +35,8 @@ import pytest
 from frustum_convnet_tpu.evaluation import kitti_eval
 from frustum_convnet_tpu.ops import native
 
+pytestmark = pytest.mark.slow  # full-pipeline test: excluded from the quick tier
+
 N_SCENES = int(os.environ.get("EVAL_FUZZ_SCENES", "12"))
 
 CLASSES = ("car", "pedestrian", "cyclist")

@@ -16,6 +16,8 @@ from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
 from frustum_convnet_tpu.data.provider_refine import FrustumRefineProvider
 from frustum_convnet_tpu.data.provider import collate_batch
 
+pytestmark = pytest.mark.slow  # full-pipeline test: excluded from the quick tier
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -17,6 +17,8 @@ from frustum_convnet_tpu.data.sunrgbd.synthetic import make_synthetic_sunrgbd
 from frustum_convnet_tpu.evaluation.sunrgbd_eval import (build_gt_all, eval_det,
                                                         voc_ap)
 
+pytestmark = pytest.mark.slow  # full-pipeline test: excluded from the quick tier
+
 WHITELIST = ("bed", "chair", "table", "sofa",
              "bathtub", "bookshelf", "desk", "dresser", "night_stand", "toilet")
 
