@@ -52,6 +52,49 @@ TRAIN_BATCHES = (32, 128, 256)  # reference train batch + scaled batches
 ITERS = 50
 TRIALS = 3
 
+# v5e MXU peak (bf16 systolic-array rate). Used for BOTH compute dtypes:
+# jax's default matmul precision on TPU lowers float32-stored matmuls to
+# single-pass bf16 MXU ops, so the hardware ceiling is the same — an f32
+# "compute dtype" here means f32 storage/accumulation, not 6-pass f32 MXU.
+V5E_PEAK_FLOPS = 197e12
+# Train-step analytic FLOPs multiplier over the forward: backward re-runs
+# every matmul twice (dX and dW) => fwd + 2x fwd. BN stat reductions,
+# optimizer elementwise and the grouping kernel's scan matmul are excluded
+# (see BENCH_NOTES.md "Analytic FLOPs accounting").
+TRAIN_FLOPS_MULT = 3.0
+
+
+def flops_per_frustum(spec) -> float:
+    """Analytic forward model FLOPs per frustum (matmul/conv MACs x 2).
+
+    Counts the useful dense math only — per-scale PointNet MLPs over the
+    (M_i, K_i) grouped points, the 1D conv encoder/decoder, and the heads.
+    Excluded (documented in BENCH_NOTES.md): the grouping kernel's int8 scan
+    matmul (bookkeeping, not model math), BN statistics/normalize, ReLU,
+    max-pool, and the box decode — all bandwidth-bound elementwise work.
+    Stage map: SURVEY.md §2.2 det_base rows / `models/net.py`.
+    """
+    cin0 = 3 + (spec.extra_feat_dim if spec.use_extra_feature else 0)
+    f = 0.0
+    for i in range(spec.num_scales):  # shared MLPs (PointNetScale)
+        chs = (cin0,) + tuple(spec.mlps[i])
+        macs = sum(a * b for a, b in zip(chs[:-1], chs[1:]))
+        f += 2.0 * spec.num_refs[i] * spec.nsamples[i] * macs
+    # conv trunk (FrustumConvNet blocks; stride-2 lengths == next scale's
+    # section count by ladder construction)
+    ch, L = spec.block_channels, spec.num_refs
+    feat_ch = [spec.mlps[i][-1] + spec.num_vec for i in range(spec.num_scales)]
+    f += 2.0 * L[0] * 3 * feat_ch[0] * ch[0]  # block1_conv1 (3-tap)
+    for b in range(1, len(ch)):
+        f += 2.0 * L[b] * 3 * ch[b - 1] * ch[b]  # stride-2 3-tap
+        f += 2.0 * L[b] * 3 * ch[b] * ch[b]  # 3-tap
+        f += 2.0 * L[b] * (ch[b] + feat_ch[b]) * ch[b]  # merge 1x1
+        # deconv back to the stride-2 length: k-tap transpose, k = 2^(b-1)
+        f += 2.0 * L[b] * (2 ** (b - 1)) * ch[b] * spec.deconv_channels
+    f += 2.0 * spec.num_out * spec.head_channels * (spec.num_classes
+                                                    + spec.reg_size)
+    return f
+
 
 def scan_bench_infer(model, spec, bsz: int, iters: int = ITERS,
                      trials: int = TRIALS, trace_tag: str | None = None) -> float:
@@ -141,6 +184,66 @@ def scan_bench_train(model, spec, bsz: int, iters: int = ITERS,
     return bsz / best
 
 
+def scan_bench_serving(model, spec, group: int, bsz: int, method: str = "nms",
+                       iters: int = ITERS, trials: int = TRIALS) -> float:
+    """Frustums/sec of the production serving dispatch at user batch ``bsz``.
+
+    Times `engine.test.build_infer_group_fn` — the flattened (G*B) grouped
+    dispatch with device-side ladder rebuild (the 6-floats/frustum
+    ``ref_basis`` upload path) and on-device fg compaction — with the same
+    scan-chained methodology as the other benches, so the user-facing batch
+    stays ``bsz`` while the trunk runs at G*bsz. This is the driver's actual
+    per-dispatch device work at the reference serving batch.
+    """
+    import numpy as np
+
+    from frustum_convnet_tpu.data.fixtures import make_batch
+    from frustum_convnet_tpu.engine.test import build_infer_group_fn
+
+    z_grids = [(np.arange(m, dtype=np.float32) + 0.5) * s
+               for m, s in zip(spec.num_refs, spec.strides)]
+    cap = min(64, spec.num_out)
+    infer_group = build_infer_group_fn(model, spec, method, cap,
+                                       z_grids=z_grids)
+
+    batch = make_batch(spec, batch=bsz, seed=0, with_labels=False)
+    tile = lambda x: np.broadcast_to(x, (group,) + x.shape).copy()
+    pts_g = jnp.asarray(tile(batch["point_cloud"]))
+    oh_g = jnp.asarray(tile(batch["one_hot"]))
+    rng = np.random.default_rng(0)
+    rdir = jnp.asarray(np.concatenate(
+        [rng.uniform(-0.05, 0.05, (group, bsz, 2)),
+         np.ones((group, bsz, 1))], axis=-1).astype(np.float32))
+    roff = jnp.zeros((group, bsz, 3), jnp.float32)
+
+    variables = jax.jit(
+        lambda p, o, r: model.init(jax.random.PRNGKey(3), p, o, list(r),
+                                   train=False)
+    )(pts_g[0, :2], oh_g[0, :2],
+      tuple((roff[0, :2, None, :] + rdir[0, :2, None, :]
+             * jnp.asarray(z)[None, :, None]) for z in z_grids))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    @jax.jit
+    def bench_loop(pts_g, oh_g, rdir, roff):
+        def body(carry, _):
+            packed, cnt = infer_group(params, stats, pts_g + carry * 1e-20,
+                                      oh_g, (rdir, roff))
+            return jnp.sum(packed.astype(jnp.float32)), ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return s
+
+    jax.block_until_ready(bench_loop(pts_g, oh_g, rdir, roff))  # compile
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(bench_loop(pts_g, oh_g, rdir, roff))  # host fetch fences
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return group * bsz / best
+
+
 def main():
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
     from frustum_convnet_tpu.models.net import FrustumConvNet
@@ -157,13 +260,23 @@ def main():
     for bsz in BATCHES:
         per_batch[bsz] = scan_bench_infer(model, spec, bsz, trace_tag=f"b{bsz}")
 
+    serving = scan_bench_serving(model, spec, group=8, bsz=32)
+
     train_model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
     train_per_batch = {}
     for bsz in TRAIN_BATCHES:
         train_per_batch[bsz] = scan_bench_train(train_model, spec, bsz)
 
+    fpf = flops_per_frustum(spec)  # analytic forward FLOPs per frustum
+
+    def hw(fps: float, mult: float = 1.0) -> dict:
+        tf = fps * fpf * mult / 1e12
+        return {"tflops_per_sec": round(tf, 1),
+                "mfu_pct": round(100.0 * tf * 1e12 / V5E_PEAK_FLOPS, 1)}
+
     best_bsz = max(per_batch, key=per_batch.get)
     frustums_per_sec = per_batch[best_bsz]
+    best_train = max(train_per_batch.values())
     print(json.dumps({
         "metric": "inference_throughput_kitti_det_base",
         "value": round(frustums_per_sec, 1),
@@ -171,13 +284,25 @@ def main():
         "vs_baseline": round(frustums_per_sec / REF_GPU_FRUSTUMS_PER_SEC, 2),
         "batch": best_bsz,
         "per_batch": {str(k): round(v, 1) for k, v in per_batch.items()},
-        "train_throughput": {
-            "value": round(max(train_per_batch.values()), 1),
+        # hardware-grounded numbers next to the estimated-baseline ratio:
+        # analytic fwd FLOPs/frustum (see flops_per_frustum) over the v5e
+        # MXU peak; train multiplies by TRAIN_FLOPS_MULT (fwd + 2x bwd)
+        "flops_per_frustum": round(fpf / 1e9, 3),  # GFLOPs, forward
+        **hw(frustums_per_sec),
+        "serving_batch32": {
+            "value": round(serving, 1),
             "unit": "frustums/sec/chip",
-            "vs_baseline": round(max(train_per_batch.values())
-                                 / REF_GPU_TRAIN_FRUSTUMS_PER_SEC, 2),
+            "group": 8,
+            **hw(serving),
+        },
+        "train_throughput": {
+            "value": round(best_train, 1),
+            "unit": "frustums/sec/chip",
+            "vs_baseline": round(best_train / REF_GPU_TRAIN_FRUSTUMS_PER_SEC,
+                                 2),
             "per_batch": {str(k): round(v, 1)
                           for k, v in train_per_batch.items()},
+            **hw(best_train, TRAIN_FLOPS_MULT),
         },
     }))
 

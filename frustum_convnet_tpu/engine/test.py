@@ -51,7 +51,8 @@ def build_infer_fn(model, spec):
     return infer
 
 
-def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
+def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None,
+                         mesh=None):
     """G stacked batches -> one dispatch, with on-device fg compaction.
 
     Per-dispatch latency and device->host bytes dominate a naive per-batch
@@ -67,6 +68,12 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
     section order; the host re-runs the rare frustum whose fg count exceeds
     S through the full path, so semantics stay exact), 'top' keeps the
     argmax section.
+
+    With ``mesh`` the group axis is sharded over the data-parallel devices
+    (params/stats replicated, packed outputs gathered back replicated) — the
+    SPMD counterpart of the reference test driver's ``DataParallel`` wrap
+    (`/root/reference/train/test_net_det.py:404-405`); G must then be a
+    multiple of the mesh size (``run_test`` rounds the group up).
     """
     sel_top = method != "nms"
     # device-side ladder rebuild: the stage-1 ladders are affine in depth
@@ -75,7 +82,6 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
     z_consts = (None if z_grids is None
                 else [jnp.asarray(z, jnp.float32) for z in z_grids])
 
-    @jax.jit
     def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
         g, b = pts_g.shape[:2]
         flat = lambda x: x.reshape((g * b,) + x.shape[2:])
@@ -121,7 +127,14 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None):
         ], axis=-1)  # (G*B, S, 8)
         return packed.reshape(g, b, *packed.shape[1:]), cnt.reshape(g, b)
 
-    return infer_group
+    if mesh is not None:
+        from frustum_convnet_tpu.parallel.mesh import data_sharding, replicated
+
+        repl, dp = replicated(mesh), data_sharding(mesh)
+        return jax.jit(infer_group,
+                       in_shardings=(repl, repl, dp, dp, dp),
+                       out_shardings=(repl, repl))
+    return jax.jit(infer_group)
 
 
 def select_foreground_batch(cls_probs: np.ndarray, real: int, method: str):
@@ -217,7 +230,7 @@ def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
 
 def run_test(model, spec, state, dataset, batch_size: int, method: str,
              logger, num_workers: int = 4, group: int = 8,
-             fg_cap: int = 64, inflight: int = 2) -> dict:
+             fg_cap: int = 64, inflight: int = 2, mesh=None) -> dict:
     """Stream the dataset through the jitted graph; accumulate detections.
 
     Pipelined four ways: BatchLoader worker threads prepare batches ahead;
@@ -230,8 +243,31 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
     per-detection math is vectorized numpy. End-to-end streaming throughput
     is logged so the driver's frustums/sec is directly comparable to
     bench.py.
+
+    With ``mesh`` (>1 device) the grouped dispatch is sharded over the
+    data-parallel devices; every host prepares the full batch stream and
+    gets the full (compacted) outputs back, so post-processing stays
+    host-local — only result-dir writes need chief gating (in ``main``).
     """
     from frustum_convnet_tpu.engine.loader import BatchLoader
+
+    if mesh is not None and getattr(mesh, "size", 1) <= 1:
+        mesh = None
+    if mesh is not None:
+        from frustum_convnet_tpu.parallel.mesh import (replicated,
+                                                       shard_full_batch)
+
+        ndev = int(mesh.size)
+        if group % ndev:
+            group = -(-group // ndev) * ndev
+            logger.info(f"group rounded up to {group} "
+                        f"(multiple of the {ndev}-device mesh)")
+        state = jax.device_put(state, replicated(mesh))
+
+        def put_group(tree):
+            return shard_full_batch(tree, mesh)
+    else:
+        put_group = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
     use_basis = hasattr(dataset, "ref_basis")
     # top_k(k) requires k <= section count; small refine/sample ladders have
@@ -239,7 +275,7 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
     fg_cap = min(fg_cap, spec.num_out)
     infer_group = build_infer_group_fn(
         model, spec, method, 1 if method != "nms" else fg_cap,
-        z_grids=dataset.ref_depths() if use_basis else None)
+        z_grids=dataset.ref_depths() if use_basis else None, mesh=mesh)
     infer_full = build_infer_fn(model, spec)  # rare overflow fallback
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
@@ -290,13 +326,14 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         pts_g = np.stack([b["point_cloud"] for b in stack])
         oh_g = np.stack([b["one_hot"] for b in stack])
         if use_basis:  # ladders rebuilt on device from 6 floats/frustum
-            refs_g = (jnp.asarray(np.stack([b["ref_dir"] for b in stack])),
-                      jnp.asarray(np.stack([b["ref_off"] for b in stack])))
+            refs_g = (np.stack([b["ref_dir"] for b in stack]),
+                      np.stack([b["ref_off"] for b in stack]))
         else:
-            refs_g = tuple(jnp.asarray(np.stack([b["refs"][i] for b in stack]))
+            refs_g = tuple(np.stack([b["refs"][i] for b in stack])
                            for i in range(spec.num_scales))
+        pts_g, oh_g, refs_g = put_group((pts_g, oh_g, refs_g))
         out_dev = infer_group(state.params, state.batch_stats,
-                              jnp.asarray(pts_g), jnp.asarray(oh_g), refs_g)
+                              pts_g, oh_g, refs_g)
         pending.append((out_dev, stack))
         while len(pending) >= max(inflight, 1):
             process_group(*pending.popleft())
@@ -382,9 +419,21 @@ def main(argv=None):
         merge_cfg_from_list(args.opts)
     assert_and_infer_cfg()
 
+    from frustum_convnet_tpu.parallel.mesh import (is_chief, make_mesh,
+                                                   maybe_initialize_distributed)
+
+    maybe_initialize_distributed()
+    chief = is_chief()
     result_dir = os.path.join(cfg.OUTPUT_DIR, cfg.SAVE_SUB_DIR, "result")
-    os.makedirs(result_dir, exist_ok=True)
-    logger = get_logger(os.path.join(result_dir, "test.log"))
+    if chief:
+        os.makedirs(result_dir, exist_ok=True)
+    # filesystem writes belong to process 0; other hosts log to console only
+    logger = get_logger(os.path.join(result_dir, "test.log") if chief else None)
+    mesh = (make_mesh(mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
+                      axis_names=tuple(cfg.TPU.MESH_AXES))
+            if len(jax.devices()) > 1 else None)
+    if mesh is not None:
+        logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
@@ -428,7 +477,11 @@ def main(argv=None):
     det_results = run_test(model, spec, state, dataset, cfg.TEST.BATCH_SIZE,
                            cfg.TEST.METHOD, logger,
                            group=cfg.TPU.INFER_GROUP,
-                           inflight=cfg.TPU.INFER_INFLIGHT)
+                           inflight=cfg.TPU.INFER_INFLIGHT, mesh=mesh)
+    if not chief:
+        # every host streamed the same batches through the sharded graph and
+        # holds identical det_results; the result dir belongs to process 0
+        return None
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     data_dir = write_detection_results(result_dir, det_results, split_ids,
                                        nms_threshold=nms_thresh)

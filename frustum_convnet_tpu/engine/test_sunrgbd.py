@@ -42,7 +42,7 @@ def corners_from_params(center, size, heading) -> np.ndarray:
     return gnp.box3d_corners(np.asarray(center), np.asarray(size), float(heading))
 
 
-def build_infer_group_flat_fn(model, spec):
+def build_infer_group_flat_fn(model, spec, mesh=None):
     """G stacked batches -> ONE flattened (G*B) dispatch, full decode back.
 
     Same flattening rationale as `engine/test.build_infer_group_fn`: at the
@@ -52,9 +52,12 @@ def build_infer_group_flat_fn(model, spec):
     postprocess scores with the full per-section size probabilities
     (score = rgb prob + max size prob, ref `test_net_det_sunrgbd.py:229`),
     so outputs return undecimated, reshaped to (G, B, ...).
+
+    With ``mesh`` the group axis is sharded over the data-parallel devices
+    and outputs come back replicated (DataParallel counterpart, ref
+    `test_net_det.py:404-405`); G must be a multiple of the mesh size.
     """
 
-    @jax.jit
     def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
         g, b = pts_g.shape[:2]
         flat = lambda x: x.reshape((g * b,) + x.shape[2:])
@@ -65,11 +68,19 @@ def build_infer_group_flat_fn(model, spec):
         out = decode_outputs(spec, cls_logits, reg, refs[1])
         return {k: v.reshape((g, b) + v.shape[1:]) for k, v in out.items()}
 
-    return infer_group
+    if mesh is not None:
+        from frustum_convnet_tpu.parallel.mesh import data_sharding, replicated
+
+        repl, dp = replicated(mesh), data_sharding(mesh)
+        return jax.jit(infer_group,
+                       in_shardings=(repl, repl, dp, dp, dp),
+                       out_shardings=repl)
+    return jax.jit(infer_group)
 
 
 def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
-                     num_workers: int = 4, inflight: int = 2, group: int = 8):
+                     num_workers: int = 4, inflight: int = 2, group: int = 8,
+                     mesh=None):
     """Streaming SUN-RGBD inference, pipelined like `engine/test.run_test`:
     BatchLoader worker threads prepare batches ahead; ``group`` batches
     flatten into one device dispatch (trunk at G*B); up to ``inflight``
@@ -80,7 +91,24 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
     from frustum_convnet_tpu.engine.loader import BatchLoader
 
     group = max(int(group), 1)
-    infer_group = build_infer_group_flat_fn(model, spec)
+    if mesh is not None and getattr(mesh, "size", 1) <= 1:
+        mesh = None
+    if mesh is not None:
+        from frustum_convnet_tpu.parallel.mesh import (replicated,
+                                                       shard_full_batch)
+
+        ndev = int(mesh.size)
+        if group % ndev:
+            group = -(-group // ndev) * ndev
+            logger.info(f"group rounded up to {group} "
+                        f"(multiple of the {ndev}-device mesh)")
+        state = jax.device_put(state, replicated(mesh))
+
+        def put_group(tree):
+            return shard_full_batch(tree, mesh)
+    else:
+        put_group = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    infer_group = build_infer_group_flat_fn(model, spec, mesh=mesh)
     det_results: dict = {}
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
@@ -93,10 +121,11 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
         g = len(batches)
         if g < group:
             batches = batches + [batches[-1]] * (group - g)
-        pts = jnp.asarray(np.stack([b["point_cloud"] for b in batches]))
-        one_hot = jnp.asarray(np.stack([b["one_hot"] for b in batches]))
-        refs = tuple(jnp.asarray(np.stack([b["refs"][i] for b in batches]))
+        pts = np.stack([b["point_cloud"] for b in batches])
+        one_hot = np.stack([b["one_hot"] for b in batches])
+        refs = tuple(np.stack([b["refs"][i] for b in batches])
                      for i in range(spec.num_scales))
+        pts, one_hot, refs = put_group((pts, one_hot, refs))
         return infer_group(state.params, state.batch_stats, pts, one_hot, refs)
 
     def process_one(out, batch):
@@ -187,9 +216,21 @@ def main(argv=None):
         merge_cfg_from_list(args.opts)
     assert_and_infer_cfg()
 
+    from frustum_convnet_tpu.parallel.mesh import (is_chief, make_mesh,
+                                                   maybe_initialize_distributed)
+
+    maybe_initialize_distributed()
+    chief = is_chief()
     result_dir = os.path.join(cfg.OUTPUT_DIR, cfg.SAVE_SUB_DIR, "result")
-    os.makedirs(result_dir, exist_ok=True)
-    logger = get_logger(os.path.join(result_dir, "test.log"))
+    if chief:
+        os.makedirs(result_dir, exist_ok=True)
+    # filesystem writes belong to process 0; other hosts log to console only
+    logger = get_logger(os.path.join(result_dir, "test.log") if chief else None)
+    mesh = (make_mesh(mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
+                      axis_names=tuple(cfg.TPU.MESH_AXES))
+            if len(jax.devices()) > 1 else None)
+    if mesh is not None:
+        logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
@@ -204,7 +245,11 @@ def main(argv=None):
                                    cfg.TEST.BATCH_SIZE, cfg.TEST.METHOD, logger,
                                    num_workers=cfg.NUM_WORKERS,
                                    inflight=cfg.TPU.INFER_INFLIGHT,
-                                   group=cfg.TPU.INFER_GROUP)
+                                   group=cfg.TPU.INFER_GROUP, mesh=mesh)
+    if not chief:
+        # every host streamed the same batches through the sharded graph and
+        # holds identical det_results; the result dir belongs to process 0
+        return None
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     pred_all = to_corner_results(det_results, nms_thresh)
 

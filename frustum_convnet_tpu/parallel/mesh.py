@@ -99,6 +99,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_full_batch(batch, mesh: Mesh):
+    """Shard a pytree whose leaves every host holds IN FULL (inference path).
+
+    The inference drivers keep host-side work identical on every process
+    (deterministic loader, no process sharding) so detection post-processing
+    needs no cross-host gather; the device work is still split over the whole
+    mesh. Single-process: a plain sharded ``device_put``. Multi-process:
+    ``jax.make_array_from_callback`` carves each addressable shard out of the
+    full host copy (a host-local ``device_put`` would mis-declare the local
+    copy as one shard).
+    """
+    s = data_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Put a host batch pytree onto the mesh with the batch axis sharded.
 

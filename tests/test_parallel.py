@@ -84,6 +84,45 @@ def test_infer_step_spmd_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("method", ["nms", "top"])
+def test_infer_group_dispatch_spmd_matches_single_device(method):
+    """The test driver's grouped (G*B-flattened, fg-compacted) dispatch must
+    return the same packed detections when the group axis is sharded over
+    the mesh — the SPMD counterpart of the reference test driver's
+    DataParallel wrap (`test_net_det.py:404-405`). Inference is per-frustum
+    data-parallel (no cross-example reductions) so selection counts must be
+    identical; packed values get a tight tolerance — the partitioned
+    executable fuses differently, shifting float rounding ~1e-6 relative."""
+    from frustum_convnet_tpu.engine.test import build_infer_group_fn
+    from frustum_convnet_tpu.parallel.mesh import shard_full_batch
+
+    spec, model, tcfg, tx, batch, state = _tiny_setup(batch=16)
+    mesh = make_mesh()
+    g, b = 8, 2
+    regroup = lambda x: np.asarray(x).reshape((g, b) + x.shape[1:])
+    pts_g = regroup(batch["point_cloud"])
+    oh_g = regroup(batch["one_hot"])
+    refs_g = tuple(regroup(r) for r in batch["refs"])
+    cap = min(16, spec.num_out)
+
+    fn_1 = build_infer_group_fn(model, spec, method, cap, mesh=None)
+    fn_n = build_infer_group_fn(model, spec, method, cap, mesh=mesh)
+    packed1, cnt1 = fn_1(state.params, state.batch_stats,
+                         jnp.asarray(pts_g), jnp.asarray(oh_g),
+                         tuple(jnp.asarray(r) for r in refs_g))
+    sh_pts, sh_oh, sh_refs = shard_full_batch((pts_g, oh_g, refs_g), mesh)
+    packedn, cntn = fn_n(
+        jax.device_put(state.params, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())),
+        jax.device_put(state.batch_stats, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())),
+        sh_pts, sh_oh, sh_refs)
+    np.testing.assert_array_equal(np.asarray(cnt1), np.asarray(cntn))
+    np.testing.assert_allclose(np.asarray(packed1), np.asarray(packedn),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_two_spmd_steps_stay_in_sync():
     """Two successive sharded steps: state remains replicated-consistent and
     losses stay finite (exercises donation-free state round-trip)."""
