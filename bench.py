@@ -147,41 +147,58 @@ def scan_bench_infer(model, spec, bsz: int, iters: int = ITERS,
 
 
 def scan_bench_train(model, spec, bsz: int, iters: int = ITERS,
-                     trials: int = TRIALS) -> float:
+                     trials: int = TRIALS,
+                     metric_interval: int = 50) -> float:
     """Frustums/sec of the full jitted train step at batch ``bsz``.
 
     Full production step: train-mode forward (BN batch stats) + losses +
-    grads + adam + BN update, per-step metrics at the production default.
-    The step loop runs on device via ``lax.scan`` carrying the real train
-    state between iterations, so successive steps have a true dependency.
+    grads + adam + BN update. The step loop runs on device via ``lax.scan``
+    carrying the real train state between iterations, so successive steps
+    have a true dependency.
+
+    The engine's shipped default (``cfg.TPU.METRIC_INTERVAL`` = -1 ->
+    ``cfg.disp`` = 50) runs the rotated-IoU monitoring metrics through a
+    metric-carrying compiled step every 50th step and a metric-free twin
+    otherwise (parameter trajectory bit-identical; BENCH_NOTES "Metric
+    cadence"). The bench times BOTH steps and reports the amortized
+    production mix; ``metric_interval=1`` reproduces the reference's
+    every-step-metrics cadence.
     """
     from frustum_convnet_tpu.data.fixtures import make_batch
     from frustum_convnet_tpu.parallel.train_step import (
         TrainStepConfig, _train_core, init_state, make_optimizer)
 
-    tcfg = TrainStepConfig()
-    tx = make_optimizer(tcfg)
     batch_np = make_batch(spec, batch=bsz, seed=0, with_labels=True)
     batch = {k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, (list, tuple))
                  else jnp.asarray(v)) for k, v in batch_np.items()}
-    state = init_state(model, tx, batch, seed=3)
-    core = _train_core(model, spec, tx, tcfg)
 
-    @jax.jit
-    def step_loop(state):
-        def body(s, _):
-            s2, losses, _ = core(s, batch)
-            return s2, losses["total_loss"]
-        _, ls = lax.scan(body, state, None, length=iters)
-        return ls[-1]
+    def time_step(compute_metrics: bool) -> float:
+        tcfg = TrainStepConfig(compute_metrics=compute_metrics)
+        tx = make_optimizer(tcfg)
+        state = init_state(model, tx, batch, seed=3)
+        core = _train_core(model, spec, tx, tcfg)
 
-    jax.block_until_ready(step_loop(state))  # compile
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(step_loop(state))  # host fetch fences the dispatch
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return bsz / best
+        @jax.jit
+        def step_loop(state):
+            def body(s, _):
+                s2, losses, _ = core(s, batch)
+                return s2, losses["total_loss"]
+            _, ls = lax.scan(body, state, None, length=iters)
+            return ls[-1]
+
+        jax.block_until_ready(step_loop(state))  # compile
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(step_loop(state))  # host fetch fences the dispatch
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    if metric_interval <= 1:
+        return bsz / time_step(True)
+    t = ((metric_interval - 1) * time_step(False)
+         + time_step(True)) / metric_interval
+    return bsz / t
 
 
 def scan_bench_serving(model, spec, group: int, bsz: int, method: str = "nms",
@@ -300,6 +317,9 @@ def main():
             "unit": "frustums/sec/chip",
             "vs_baseline": round(best_train / REF_GPU_TRAIN_FRUSTUMS_PER_SEC,
                                  2),
+            # amortized over the engine's shipped metric cadence (monitoring
+            # metrics every disp=50 steps; parameter trajectory identical)
+            "metric_cadence": 50,
             "per_batch": {str(k): round(v, 1)
                           for k, v in train_per_batch.items()},
             **hw(best_train, TRAIN_FLOPS_MULT),

@@ -123,6 +123,13 @@ def _build_default_cfg() -> AttrDict:
     # so the default keeps float32 numerics.
     C.TPU.INFER_DTYPE = "float32"
     C.TPU.PREFETCH = 2  # host pipeline prefetch depth
+    # Host->device dtype for the streamed point upload in the test drivers
+    # (points dominate h2d bytes at 16 KB/frustum in f32; relay-attached
+    # setups are upload-bound, BENCH_NOTES "Driver e2e"). float16 halves the
+    # bytes; decode back to the compute dtype on device. Worst-case
+    # quantization is ~3 cm at z=64 m (KITTI) — AP-neutral on the 50-epoch
+    # synthetic protocol (BENCH_NOTES "float16 point upload").
+    C.TPU.INFER_POINTS_DTYPE = "float16"
     C.TPU.INFER_GROUP = 8  # batches per inference dispatch (engine/test.py)
     C.TPU.INFER_INFLIGHT = 2  # queued device dispatches before host fetch
     C.TPU.DONATE = True  # donate train-state buffers to the jitted step
@@ -136,6 +143,11 @@ def _build_default_cfg() -> AttrDict:
     # reduction over the (B, M, K, C) pre-activation. Same math as flax BN
     # (mean2 - mean^2), different summation order. Off by default.
     C.TPU.FAST_BN = False
+    # Rematerialize the per-scale PointNet MLP stacks in the backward pass
+    # (jax.checkpoint): the train step's HBM floor is saving/reloading the
+    # (B, M, K, C) activations; recomputing them from the 3-channel grouped
+    # input trades cheap matmul FLOPs for that traffic. Gradients identical.
+    C.TPU.REMAT_POINTNET = False
     return C
 
 

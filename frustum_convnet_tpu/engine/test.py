@@ -43,9 +43,11 @@ from frustum_convnet_tpu.utils.logger import get_logger
 def build_infer_fn(model, spec):
     @jax.jit
     def infer(state_params, state_stats, pts, one_hot, refs):
+        # pts may arrive as a reduced upload dtype (cfg.TPU.INFER_POINTS_DTYPE
+        # float16 halves the dominant h2d stream); model compute is f32
         cls_logits, reg = model.apply(
             {"params": state_params, "batch_stats": state_stats},
-            pts, one_hot, list(refs), train=False)
+            pts.astype(jnp.float32), one_hot, list(refs), train=False)
         return decode_outputs(spec, cls_logits, reg, refs[1])
 
     return infer
@@ -85,7 +87,8 @@ def build_infer_group_fn(model, spec, method: str, cap: int, z_grids=None,
     def infer_group(state_params, state_stats, pts_g, one_hot_g, refs_g):
         g, b = pts_g.shape[:2]
         flat = lambda x: x.reshape((g * b,) + x.shape[2:])
-        pts, one_hot = flat(pts_g), flat(one_hot_g)
+        # decode the reduced upload dtype (float16 point stream) on device
+        pts, one_hot = flat(pts_g).astype(jnp.float32), flat(one_hot_g)
         if z_consts is None:
             refs = tuple(flat(r) for r in refs_g)
         else:
@@ -230,7 +233,8 @@ def postprocess_packed(packed: np.ndarray, cnt: np.ndarray, batch: dict,
 
 def run_test(model, spec, state, dataset, batch_size: int, method: str,
              logger, num_workers: int = 4, group: int = 8,
-             fg_cap: int = 64, inflight: int = 2, mesh=None) -> dict:
+             fg_cap: int = 64, inflight: int = 2, mesh=None,
+             points_dtype: str = "float16") -> dict:
     """Stream the dataset through the jitted graph; accumulate detections.
 
     Pipelined four ways: BatchLoader worker threads prepare batches ahead;
@@ -270,6 +274,9 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         put_group = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
     use_basis = hasattr(dataset, "ref_basis")
+    # the point stream dominates h2d bytes (16 KB/frustum in f32); float16
+    # halves it and is decoded to f32 on device (cfg.TPU.INFER_POINTS_DTYPE)
+    pts_np_dtype = np.dtype(points_dtype)
     # top_k(k) requires k <= section count; small refine/sample ladders have
     # L < the default cap (overflow re-runs keep semantics exact regardless)
     fg_cap = min(fg_cap, spec.num_out)
@@ -289,7 +296,7 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
 
     def full_path(batch) -> int:
         out = infer_full(state.params, state.batch_stats,
-                         jnp.asarray(batch["point_cloud"]),
+                         jnp.asarray(batch["point_cloud"].astype(pts_np_dtype)),
                          jnp.asarray(batch["one_hot"]),
                          tuple(jnp.asarray(r) for r in batch["refs"]))
         return postprocess_batch(jax.device_get(out), batch, dataset, method,
@@ -323,7 +330,7 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         if len(batches) < group:
             continue
         stack = [b for b in batches]
-        pts_g = np.stack([b["point_cloud"] for b in stack])
+        pts_g = np.stack([b["point_cloud"] for b in stack]).astype(pts_np_dtype)
         oh_g = np.stack([b["one_hot"] for b in stack])
         if use_basis:  # ladders rebuilt on device from 6 floats/frustum
             refs_g = (np.stack([b["ref_dir"] for b in stack]),
@@ -477,7 +484,8 @@ def main(argv=None):
     det_results = run_test(model, spec, state, dataset, cfg.TEST.BATCH_SIZE,
                            cfg.TEST.METHOD, logger,
                            group=cfg.TPU.INFER_GROUP,
-                           inflight=cfg.TPU.INFER_INFLIGHT, mesh=mesh)
+                           inflight=cfg.TPU.INFER_INFLIGHT, mesh=mesh,
+                           points_dtype=cfg.TPU.INFER_POINTS_DTYPE)
     if not chief:
         # every host streamed the same batches through the sharded graph and
         # holds identical det_results; the result dir belongs to process 0

@@ -62,9 +62,11 @@ def build_infer_group_flat_fn(model, spec, mesh=None):
         g, b = pts_g.shape[:2]
         flat = lambda x: x.reshape((g * b,) + x.shape[2:])
         refs = [flat(r) for r in refs_g]
+        # decode the reduced upload dtype (float16 point stream) on device
         cls_logits, reg = model.apply(
             {"params": state_params, "batch_stats": state_stats},
-            flat(pts_g), flat(one_hot_g), refs, train=False)
+            flat(pts_g).astype(jnp.float32), flat(one_hot_g), refs,
+            train=False)
         out = decode_outputs(spec, cls_logits, reg, refs[1])
         return {k: v.reshape((g, b) + v.shape[1:]) for k, v in out.items()}
 
@@ -80,7 +82,7 @@ def build_infer_group_flat_fn(model, spec, mesh=None):
 
 def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
                      num_workers: int = 4, inflight: int = 2, group: int = 8,
-                     mesh=None):
+                     mesh=None, points_dtype: str = "float16"):
     """Streaming SUN-RGBD inference, pipelined like `engine/test.run_test`:
     BatchLoader worker threads prepare batches ahead; ``group`` batches
     flatten into one device dispatch (trunk at G*B); up to ``inflight``
@@ -121,7 +123,7 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
         g = len(batches)
         if g < group:
             batches = batches + [batches[-1]] * (group - g)
-        pts = np.stack([b["point_cloud"] for b in batches])
+        pts = np.stack([b["point_cloud"] for b in batches]).astype(points_dtype)
         one_hot = np.stack([b["one_hot"] for b in batches])
         refs = tuple(np.stack([b["refs"][i] for b in batches])
                      for i in range(spec.num_scales))
@@ -245,7 +247,8 @@ def main(argv=None):
                                    cfg.TEST.BATCH_SIZE, cfg.TEST.METHOD, logger,
                                    num_workers=cfg.NUM_WORKERS,
                                    inflight=cfg.TPU.INFER_INFLIGHT,
-                                   group=cfg.TPU.INFER_GROUP, mesh=mesh)
+                                   group=cfg.TPU.INFER_GROUP, mesh=mesh,
+                                   points_dtype=cfg.TPU.INFER_POINTS_DTYPE)
     if not chief:
         # every host streamed the same batches through the sharded graph and
         # holds identical det_results; the result dir belongs to process 0

@@ -208,7 +208,8 @@ def main(argv=None):
 
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
-                           fast_bn=cfg.TPU.FAST_BN)
+                           fast_bn=cfg.TPU.FAST_BN,
+                           remat_pointnet=cfg.TPU.REMAT_POINTNET)
 
     provider_cls = get_provider_class(cfg)
     train_ds = provider_cls(cfg, cfg.TRAIN.DATASET, random_flip=True,

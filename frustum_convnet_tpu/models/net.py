@@ -184,7 +184,7 @@ class PointNetScale(nn.Module):
     fast_bn: bool = False
 
     @nn.compact
-    def __call__(self, points, ref, train: bool, grouped=None):
+    def __call__(self, points, ref, train: bool = False, grouped=None):
         # points (B, N, C>=3); ref (B, M, 3) in any order (the Pallas select
         # kernel has no sorted-ladder assumption, so padded refine ladders
         # with duplicated tail sections are handled exactly).
@@ -216,6 +216,13 @@ class FrustumConvNet(nn.Module):
     spec: DetModelSpec
     dtype: Any = jnp.float32
     fast_bn: bool = False  # cfg.TPU.FAST_BN: analytic BN stats in the MLPs
+    # cfg.TPU.REMAT_POINTNET: rematerialize the per-scale MLP stacks in the
+    # backward pass instead of saving their (B, M, K, C) activations — the
+    # train step's HBM floor is exactly those tensors (BENCH_NOTES "Train-
+    # step attribution"); the recompute re-runs cheap MXU-pad-floored
+    # matmuls from the 3-channel grouped input, trading FLOPs for the
+    # save/load traffic. Parameter gradients are mathematically identical.
+    remat_pointnet: bool = False
 
     @nn.compact
     def __call__(self, points, one_hot, refs, train: bool = False):
@@ -233,9 +240,14 @@ class FrustumConvNet(nn.Module):
         feats = points if s.use_extra_feature else points[..., :3]
         groups = group_depth_point_multi_auto(
             feats, list(refs), list(s.height_half), list(s.nsamples))
+        # lifted remat keeps the scope/variable tree identical, so params and
+        # checkpoints interchange with the non-remat model; `train` must be
+        # static (it selects the BN mode at trace time)
+        scale_cls = (nn.checkpoint(PointNetScale, static_argnums=(3,))
+                     if self.remat_pointnet and train else PointNetScale)
         scale_feats = []
         for i in range(s.num_scales):
-            f = PointNetScale(
+            f = scale_cls(
                 mlp=s.mlps[i],
                 dist=s.height_half[i],
                 nsample=s.nsamples[i],
@@ -243,7 +255,7 @@ class FrustumConvNet(nn.Module):
                 dtype=self.dtype,
                 fast_bn=self.fast_bn,
                 name=f"pointnet{i + 1}",
-            )(points, refs[i], train, grouped=groups[i])
+            )(points, refs[i], train, groups[i])
             # append one-hot class vector at every section; cast to the
             # compute dtype first or the concat promotes the whole feature
             # map back to float32 under a bfloat16 trunk

@@ -58,6 +58,19 @@ class ScalarWriter:
         self._f.flush()
         self._events.flush()
 
+    def image_summary(self, key: str, images, step: int):
+        """A list of images logged as ``key/i`` (event file only; images do
+        not fit the JSONL sink). Reference `utils/logger.py:24-43`."""
+        for i, img in enumerate(images):
+            self._events.image(f"{key}/{i}", img, step)
+        self._events.flush()
+
+    def histo_summary(self, key: str, values, step: int, bins: int = 1000):
+        """Histogram of a tensor (event file only).
+        Reference `utils/logger.py:46-72`."""
+        self._events.histogram(key, values, step, bins=bins)
+        self._events.flush()
+
     def close(self):
         self._f.close()
         self._events.close()

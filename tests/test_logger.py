@@ -101,3 +101,62 @@ def test_scalar_writer_dual_sink(tmp_path):
     got = _load_scalars(os.path.join(out, "tb_logger", "train"))
     assert ("total_loss", 7, 2.0) in got
     assert ("cls_loss", 7, 0.5) in got
+
+
+def test_tfevent_image_and_histogram_roundtrip(tmp_path):
+    """Image + histogram events (ref `utils/logger.py:24-72`) parse back
+    through TensorBoard's own loader: PNG bytes decode to the original
+    pixels, histogram statistics and buckets match numpy's."""
+    import numpy as np
+
+    pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing.event_file_loader import (
+        RawEventFileLoader)
+    from tensorboard.compat.proto import event_pb2
+
+    d = str(tmp_path / "events_ih")
+    w = TFEventWriter(d)
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    img_f = rng.normal(size=(4, 6))  # float -> min-max scaled to uint8
+    vals = rng.normal(size=1000)
+    w.image("viz/frustum", img_u8, step=3)
+    w.image("viz/gray", img_f, step=3)
+    w.histogram("params/w", vals, step=4, bins=30)
+    w.close()
+
+    files = glob.glob(os.path.join(d, "events.out.tfevents.*"))
+    assert len(files) == 1
+    # raw proto parse (EventFileLoader's data_compat pass would migrate
+    # image/histo values into TensorProtos; here we pin the wire format)
+    images, histos = {}, {}
+    for rec in RawEventFileLoader(files[0]).Load():
+        ev = event_pb2.Event.FromString(rec)
+        if not ev.HasField("summary"):
+            continue
+        for v in ev.summary.value:
+            if v.HasField("image"):
+                images[v.tag] = (ev.step, v.image)
+            elif v.HasField("histo"):
+                histos[v.tag] = (ev.step, v.histo)
+
+    step, im = images["viz/frustum"]
+    assert step == 3
+    assert im.height == 7 and im.width == 5 and im.colorspace == 3
+    png = im.encoded_image_string
+    assert png.startswith(b"\x89PNG")
+    assert "viz/gray" in images  # float input path encoded too
+    # decode the PNG with matplotlib (PIL-free) and compare pixels
+    import io
+
+    import matplotlib.image as mpimg
+    decoded = (mpimg.imread(io.BytesIO(png)) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(decoded, img_u8)
+
+    step, h = histos["params/w"]
+    assert step == 4
+    counts, edges = np.histogram(vals, bins=30)
+    assert h.num == vals.size and abs(h.sum - vals.sum()) < 1e-9
+    assert abs(h.min - vals.min()) < 1e-12 and abs(h.max - vals.max()) < 1e-12
+    np.testing.assert_allclose(list(h.bucket), counts)
+    np.testing.assert_allclose(list(h.bucket_limit), edges[1:])

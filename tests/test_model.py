@@ -129,3 +129,49 @@ def test_decode_shapes():
     # decoded headings wrapped to (-pi, pi]
     h = np.asarray(out["headings"])
     assert (h <= np.pi + 1e-5).all() and (h > -np.pi - 0.6).all()
+
+
+def test_remat_pointnet_is_exact():
+    """cfg.TPU.REMAT_POINTNET recomputes the per-scale MLP activations in
+    the backward pass instead of saving them (the train step's HBM floor,
+    BENCH_NOTES "Train-step attribution"). It must be a pure scheduling
+    change: identical variable tree, loss, gradients, and BN batch-stats
+    updates."""
+    from frustum_convnet_tpu.data.fixtures import make_batch as fixture_batch
+
+    cfg = make_cfg(False)
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    b = fixture_batch(spec, batch=4, seed=0, with_labels=True)
+    args = (jnp.asarray(b["point_cloud"]), jnp.asarray(b["one_hot"]),
+            [jnp.asarray(r) for r in b["refs"]])
+    labels = {k: jnp.asarray(b[k]) for k in
+              ("cls_label", "box3d_center", "box3d_heading", "box3d_size",
+               "size_class")}
+    weights = {"box": 1.0, "corner": 10.0, "head_res": 20.0, "size_res": 20.0}
+
+    def run(remat):
+        m = FrustumConvNet(spec, remat_pointnet=remat)
+        v = m.init(jax.random.PRNGKey(3), *args, train=False)
+
+        def loss_fn(p):
+            (cl, rg), nv = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                *args, train=True, mutable=["batch_stats"])
+            losses, _ = compute_losses(spec, cl, rg, args[2][1], labels,
+                                       weights, compute_metrics=False)
+            return losses["total_loss"], nv["batch_stats"]
+
+        (l, bs), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            v["params"])
+        return float(l), g, bs, v["params"]
+
+    l0, g0, bs0, p0 = run(False)
+    l1, g1, bs1, p1 = run(True)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    assert l0 == l1
+    for a, b2 in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    for a, b2 in zip(jax.tree_util.tree_leaves(bs0),
+                     jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))

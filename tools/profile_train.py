@@ -49,6 +49,9 @@ def main():
                     help="compute the per-step IoU metric in the scan step")
     ap.add_argument("--fast_bn", action="store_true",
                     help="analytic BN batch statistics (cfg.TPU.FAST_BN)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the PointNet MLP stacks in backward "
+                         "(cfg.TPU.REMAT_POINTNET)")
     args = ap.parse_args()
 
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
@@ -67,7 +70,8 @@ def main():
                          "TPU.COMPUTE_DTYPE", args.dtype], cfg)
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
-                           fast_bn=args.fast_bn)
+                           fast_bn=args.fast_bn,
+                           remat_pointnet=args.remat)
     tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
     tx = make_optimizer(tcfg)
 
