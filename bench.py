@@ -284,6 +284,12 @@ def main():
     for bsz in TRAIN_BATCHES:
         train_per_batch[bsz] = scan_bench_train(train_model, spec, bsz)
 
+    # the bf16 scaled-batch recipe (batch 128, lr 4e-3, bfloat16 compute) is
+    # AP-validated on the 50-epoch synthetic protocol (BENCH_NOTES "bf16
+    # scaled-batch recipe") — the supported fast-training configuration
+    bf16_model = FrustumConvNet(spec, dtype=jnp.bfloat16)
+    train_bf16_128 = scan_bench_train(bf16_model, spec, 128)
+
     fpf = flops_per_frustum(spec)  # analytic forward FLOPs per frustum
 
     def hw(fps: float, mult: float = 1.0) -> dict:
@@ -293,7 +299,11 @@ def main():
 
     best_bsz = max(per_batch, key=per_batch.get)
     frustums_per_sec = per_batch[best_bsz]
-    best_train = max(train_per_batch.values())
+    best_train = max(max(train_per_batch.values()), train_bf16_128)
+    train_cfg = ({"batch": 128, "dtype": "bfloat16"}
+                 if train_bf16_128 >= max(train_per_batch.values()) else
+                 {"batch": max(train_per_batch, key=train_per_batch.get),
+                  "dtype": "float32"})
     print(json.dumps({
         "metric": "inference_throughput_kitti_det_base",
         "value": round(frustums_per_sec, 1),
@@ -320,8 +330,13 @@ def main():
             # amortized over the engine's shipped metric cadence (monitoring
             # metrics every disp=50 steps; parameter trajectory identical)
             "metric_cadence": 50,
+            # every reported config is backed by a protocol-band AP run
+            # (BENCH_NOTES): batch 32/lr 1e-3 (f32 + bf16), batch 128/lr 4e-3
+            # (f32 + bf16)
+            **train_cfg,
             "per_batch": {str(k): round(v, 1)
                           for k, v in train_per_batch.items()},
+            "per_batch_bf16": {"128": round(train_bf16_128, 1)},
             **hw(best_train, TRAIN_FLOPS_MULT),
         },
     }))

@@ -43,7 +43,8 @@ class BatchLoader:
                  shuffle: bool = False, drop_last: bool = False, seed: int = 3,
                  prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 pad_last: bool = False, num_workers: int = 1):
+                 pad_last: bool = False, num_workers: int = 1,
+                 batch_shard: Optional[tuple] = None):
         self.dataset = dataset
         self.global_batch = batch_size
         if batch_size % process_count != 0:
@@ -68,6 +69,16 @@ class BatchLoader:
         # releases the GIL often enough for this to scale to a few threads);
         # batch order is preserved by consuming the per-worker queues in turn
         self.num_workers = max(1, num_workers)
+        # batch_shard=(pi, pc): multi-host INFERENCE sharding — this host
+        # assembles and yields only batches pi, pi+pc, ... in full (no
+        # within-batch slicing; inference is embarrassingly parallel across
+        # hosts, detections merge at the end). Item rng is keyed without the
+        # process index so any host layout resamples identically to a
+        # single-process run. Mutually exclusive with within-batch sharding.
+        if batch_shard is not None and process_count != 1:
+            raise ValueError("batch_shard and within-batch process sharding "
+                             "are mutually exclusive")
+        self.batch_shard = batch_shard
 
     def __len__(self):
         n = len(self.dataset)
@@ -121,13 +132,22 @@ class BatchLoader:
                 batch["_real"] = real
             return batch
 
+        # this host's batch indices: all of them, or its batch_shard stride
+        if self.batch_shard is not None:
+            pi, pc = self.batch_shard
+            my_batches = list(range(pi, num_batches, pc))
+        else:
+            my_batches = list(range(num_batches))
+
         def worker(w: int):
             # per-batch rng keyed by batch index keeps augmentation draws
-            # independent of the worker count
+            # independent of the worker count (and, under batch_shard, of
+            # the host layout: the key matches a single-process run's)
             try:
-                for b in range(w, num_batches, nw):
+                for b in my_batches[w::nw]:
+                    key_pi = 0 if self.batch_shard else self.process_index
                     item_rng = np.random.default_rng(
-                        (self.seed, epoch, self.process_index, b))
+                        (self.seed, epoch, key_pi, b))
                     queues[w].put(make_batch(b, item_rng))
             except BaseException as exc:  # propagate with full traceback
                 queues[w].put(_WorkerError(exc))
@@ -138,17 +158,18 @@ class BatchLoader:
                    for w in range(nw)]
         for t in threads:
             t.start()
-        # worker w produces batches w, w+nw, ... in order, so consuming the
-        # queues round-robin reconstructs global batch order exactly
-        for b in range(num_batches):
-            batch = queues[b % nw].get()
+        # worker w produces my_batches[w::nw] in order, so consuming the
+        # queues round-robin reconstructs this host's batch order exactly
+        for i in range(len(my_batches)):
+            batch = queues[i % nw].get()
             if isinstance(batch, _WorkerError):
                 raise RuntimeError(
-                    f"BatchLoader worker {b % nw} failed while assembling "
-                    f"batch {b} of epoch {epoch}:\n{batch.traceback}"
+                    f"BatchLoader worker {i % nw} failed while assembling "
+                    f"batch {my_batches[i]} of epoch {epoch}:\n"
+                    f"{batch.traceback}"
                 ) from batch.exc
             if batch is None:  # worker ended before finishing its share
                 raise RuntimeError(
-                    f"BatchLoader worker {b % nw} exited early (expected "
-                    f"batch {b} of {num_batches})")
+                    f"BatchLoader worker {i % nw} exited early (expected "
+                    f"batch {my_batches[i]} of {num_batches})")
             yield batch

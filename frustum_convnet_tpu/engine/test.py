@@ -249,11 +249,16 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
     bench.py.
 
     With ``mesh`` (>1 device) the grouped dispatch is sharded over the
-    data-parallel devices; every host prepares the full batch stream and
-    gets the full (compacted) outputs back, so post-processing stays
-    host-local — only result-dir writes need chief gating (in ``main``).
+    data-parallel devices. Multi-process runs shard the dataset BY BATCH
+    (`BatchLoader(batch_shard=...)`): inference is embarrassingly parallel,
+    so each host streams its own batches through its own (local-mesh)
+    graph — host-side prep scales with hosts — and the compacted detection
+    dicts merge at the end with one all-gather
+    (`parallel.mesh.allgather_detections`). Every host returns the full
+    merged results; result-dir writes are chief-gated in ``main``.
     """
     from frustum_convnet_tpu.engine.loader import BatchLoader
+    from frustum_convnet_tpu.parallel.mesh import allgather_detections
 
     if mesh is not None and getattr(mesh, "size", 1) <= 1:
         mesh = None
@@ -284,9 +289,11 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         model, spec, method, 1 if method != "nms" else fg_cap,
         z_grids=dataset.ref_depths() if use_basis else None, mesh=mesh)
     infer_full = build_infer_fn(model, spec)  # rare overflow fallback
+    pc, pi = jax.process_count(), jax.process_index()
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
-                         num_workers=num_workers)
+                         num_workers=num_workers,
+                         batch_shard=(pi, pc) if pc > 1 else None)
     num_batches = len(loader)
     num_groups = (num_batches + group - 1) // group
     det_results: dict = {}
@@ -356,15 +363,18 @@ def run_test(model, spec, state, dataset, batch_size: int, method: str,
         n_dets += full_path(batch)
 
     elapsed = time.time() - t_start
-    n = len(dataset)
+    # under multi-process batch sharding this host saw ~len(dataset)/pc
+    n = len(dataset) if pc == 1 else max(len(dataset) // pc, 1)
     warm_note = ""
     if warm["t"] is not None and warm["n"] > 0:
         warm_rate = warm["n"] / max(time.time() - warm["t"], 1e-9)
         warm_note = f"; steady-state {warm_rate:.0f} frustums/s after compile"
-    logger.info(f"streamed {n} frustums in {elapsed:.2f}s = "
+    logger.info(f"streamed ~{n} frustums in {elapsed:.2f}s = "
                 f"{n / elapsed:.0f} frustums/s end-to-end "
                 f"({n_dets} detections, {n_overflow} overflow re-runs)"
                 f"{warm_note}")
+    if pc > 1:  # one collective merges the per-host detection dicts
+        det_results = allgather_detections(det_results)
     return det_results
 
 
@@ -436,9 +446,14 @@ def main(argv=None):
         os.makedirs(result_dir, exist_ok=True)
     # filesystem writes belong to process 0; other hosts log to console only
     logger = get_logger(os.path.join(result_dir, "test.log") if chief else None)
-    mesh = (make_mesh(mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
+    # single process: shard the grouped dispatch over all devices.
+    # multi-process: inference is embarrassingly parallel — each host runs
+    # its batch shard on a mesh of its OWN devices (no cross-host
+    # collectives until the final detection all-gather in run_test).
+    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    mesh = (make_mesh(devices, mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
                       axis_names=tuple(cfg.TPU.MESH_AXES))
-            if len(jax.devices()) > 1 else None)
+            if len(devices) > 1 else None)
     if mesh is not None:
         logger.info(f"mesh: {mesh}")
 

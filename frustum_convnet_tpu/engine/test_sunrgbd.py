@@ -112,9 +112,12 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
         put_group = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
     infer_group = build_infer_group_flat_fn(model, spec, mesh=mesh)
     det_results: dict = {}
+    # multi-process: shard the dataset by batch; merge detections at the end
+    pc, pi = jax.process_count(), jax.process_index()
     loader = BatchLoader(dataset, batch_size, spec.num_scales, shuffle=False,
                          drop_last=False, pad_last=True, seed=0,
-                         num_workers=num_workers)
+                         num_workers=num_workers,
+                         batch_shard=(pi, pc) if pc > 1 else None)
     num_batches = len(loader)
     t_start = time.time()
 
@@ -180,10 +183,14 @@ def run_test_sunrgbd(model, spec, state, dataset, batch_size, method, logger,
         pending.append((dispatch(acc), acc))
     while pending:
         process(*pending.popleft())
-    n = len(dataset)
+    n = len(dataset) if pc == 1 else max(len(dataset) // pc, 1)
     elapsed = time.time() - t_start
-    logger.info(f"streamed {n} frustums in {elapsed:.2f}s = "
+    logger.info(f"streamed ~{n} frustums in {elapsed:.2f}s = "
                 f"{n / elapsed:.0f} frustums/s end-to-end")
+    if pc > 1:  # one collective merges the per-host detection dicts
+        from frustum_convnet_tpu.parallel.mesh import allgather_detections
+
+        det_results = allgather_detections(det_results)
     return det_results
 
 
@@ -228,9 +235,12 @@ def main(argv=None):
         os.makedirs(result_dir, exist_ok=True)
     # filesystem writes belong to process 0; other hosts log to console only
     logger = get_logger(os.path.join(result_dir, "test.log") if chief else None)
-    mesh = (make_mesh(mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
+    # single process: all devices; multi-process: this host's devices only
+    # (batch-sharded inference; see engine/test.py)
+    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    mesh = (make_mesh(devices, mesh_shape=tuple(cfg.TPU.MESH_SHAPE),
                       axis_names=tuple(cfg.TPU.MESH_AXES))
-            if len(jax.devices()) > 1 else None)
+            if len(devices) > 1 else None)
     if mesh is not None:
         logger.info(f"mesh: {mesh}")
 

@@ -114,11 +114,42 @@ def shard_full_batch(batch, mesh: Mesh):
 
     def put(x):
         x = np.asarray(x)
-        if jax.process_count() == 1:
+        # a LOCAL mesh inside a multi-process run is still fully addressable
+        # (multi-host inference shards by batch, each host on its own chips)
+        if s.is_fully_addressable:
             return jax.device_put(x, s)
         return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def allgather_detections(det_results: dict) -> dict:
+    """Merge per-host detection dicts across processes (every host gets all).
+
+    Multi-host inference is embarrassingly parallel: each host streams its
+    ``batch_shard`` of the dataset through its local-mesh graph and this one
+    collective merges the (small, compacted) detection dicts at the end —
+    pickled to a padded uint8 buffer and all-gathered. Single-process: no-op.
+    """
+    if jax.process_count() == 1:
+        return det_results
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(det_results), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([blob.size], np.int64))  # (pc, 1)
+    pad = np.zeros(int(sizes.max()), np.uint8)
+    pad[:blob.size] = blob
+    gathered = multihost_utils.process_allgather(pad)  # (pc, max_size)
+    merged: dict = {}
+    for i in range(gathered.shape[0]):
+        d = pickle.loads(gathered[i, :int(sizes[i, 0])].tobytes())
+        for idx, per_class in d.items():
+            for cls, rows in per_class.items():
+                merged.setdefault(idx, {}).setdefault(cls, []).extend(rows)
+    return merged
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -131,3 +131,74 @@ def test_loader_worker_exception_carries_traceback():
     assert "corrupt pickle record" in msg  # root cause visible
     assert "KeyError" in msg
     assert "__getitem__" in msg  # full traceback, not just repr
+
+
+@pytest.mark.slow
+def test_two_process_inference_matches_single_process(tmp_path):
+    """Multi-host inference: dataset sharded BY BATCH across processes, each
+    on its own local mesh, detections merged with one all-gather, chief-only
+    writes. The merged result files must match a single-process run's up to
+    detection order (the writer's NMS sorts by score; cross-host arrival
+    order is not meaningful)."""
+    from frustum_convnet_tpu.data.kitti.prepare import extract_frustum_data
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+
+    kitti_root = str(tmp_path / "kitti_raw")
+    make_synthetic_kitti(kitti_root, num_frames=6, cars_per_frame=2, seed=1)
+    pickle_dir = str(tmp_path / "pickles")
+    os.makedirs(pickle_dir)
+    extract_frustum_data(
+        os.path.join(kitti_root, "image_sets", "val.txt"), "training",
+        os.path.join(pickle_dir, "frustum_caronly_val.pickle"), kitti_root,
+        perturb_box2d=False, augmentX=1, type_whitelist=("Car",))
+    idx_path = os.path.join(kitti_root, "image_sets", "val.txt")
+
+    child = os.path.join(_ROOT, "tests", "multihost_infer_child.py")
+
+    def launch(env, out_dir):
+        return subprocess.Popen(
+            [sys.executable, child, pickle_dir, idx_path, out_dir],
+            cwd=_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    port = _free_port()
+    procs = []
+    mh_out = str(tmp_path / "mh_out")
+    for pid in range(2):
+        env = _base_env(local_devices=2)
+        env["FRUSTUM_COORDINATOR"] = f"localhost:{port}"
+        env["FRUSTUM_NUM_PROCESSES"] = "2"
+        env["FRUSTUM_PROCESS_ID"] = str(pid)
+        procs.append(launch(env, mh_out))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    ref_out = str(tmp_path / "ref_out")
+    p = launch(_base_env(local_devices=4), ref_out)
+    log = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, log[-4000:]
+
+    mh_data = os.path.join(mh_out, "val_nms", "result", "data")
+    ref_data = os.path.join(ref_out, "val_nms", "result", "data")
+    mh_files = sorted(os.listdir(mh_data))
+    assert mh_files == sorted(os.listdir(ref_data)) and mh_files
+
+    def rows(path):
+        out = []
+        for line in open(path).read().splitlines():
+            parts = line.split()
+            out.append((parts[0], np.asarray([float(x) for x in parts[1:]])))
+        # canonical order: by values (cross-host arrival order isn't
+        # meaningful; the different executables round ~1e-6 apart)
+        out.sort(key=lambda r: (r[0],) + tuple(np.round(r[1], 4)))
+        return out
+
+    for name in mh_files:
+        got, want = rows(os.path.join(mh_data, name)), rows(
+            os.path.join(ref_data, name))
+        assert len(got) == len(want), name
+        for (gc, gv), (wc, wv) in zip(got, want):
+            assert gc == wc, name
+            np.testing.assert_allclose(gv, wv, rtol=1e-4, atol=1e-4,
+                                       err_msg=name)
