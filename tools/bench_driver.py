@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--method", default="top", choices=("top", "nms"))
     ap.add_argument("--sweep", default="8:2",
                     help="comma-separated group:inflight pairs")
+    ap.add_argument("--dtypes", default="float16",
+                    help="comma-separated point upload dtypes to sweep "
+                         "(relay bandwidth varies day-to-day, so the "
+                         "f32-vs-f16 ratio is only meaningful same-process)")
     ap.add_argument("--cache", default="/tmp/fcn_tpu_bench")
     args = ap.parse_args()
 
@@ -89,13 +93,14 @@ def main():
 
     state = load_state_for_test(model, spec, cfg, dataset, logger)
 
-    for pair in args.sweep.split(","):
-        g, infl = (int(x) for x in pair.split(":"))
-        logger.info(f"--- group={g} inflight={infl} ---")
-        t0 = time.time()
-        run_test(model, spec, state, dataset, args.batch, args.method,
-                 logger, group=g, inflight=infl)
-        logger.info(f"total wall {time.time() - t0:.2f}s")
+    for dtype in args.dtypes.split(","):
+        for pair in args.sweep.split(","):
+            g, infl = (int(x) for x in pair.split(":"))
+            logger.info(f"--- points_dtype={dtype} group={g} inflight={infl} ---")
+            t0 = time.time()
+            run_test(model, spec, state, dataset, args.batch, args.method,
+                     logger, group=g, inflight=infl, points_dtype=dtype)
+            logger.info(f"total wall {time.time() - t0:.2f}s")
 
 
 if __name__ == "__main__":
