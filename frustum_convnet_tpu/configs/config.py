@@ -54,6 +54,9 @@ def _build_default_cfg() -> AttrDict:
     C.TRAIN.LR_POLICY = "step"
     C.TRAIN.GAMMA = 0.1
     C.TRAIN.LR_STEPS = [20]
+    # linear LR warmup epochs (fractional ok; 0 = reference schedule).
+    # Rebuild-only: the large-batch stabilizer for LR-scaled recipes.
+    C.TRAIN.WARMUP_EPOCHS = 0.0
     C.TRAIN.MOMENTUM = 0.9
     C.TRAIN.WEIGHT_DECAY = 0.0
     C.TRAIN.DATASET = "train"  # train | val | trainval

@@ -237,6 +237,7 @@ def main(argv=None):
     step_cfg = TrainStepConfig(
         base_lr=cfg.TRAIN.BASE_LR, min_lr=cfg.TRAIN.MIN_LR,
         gamma=cfg.TRAIN.GAMMA, lr_steps=list(cfg.TRAIN.LR_STEPS),
+        warmup_epochs=cfg.TRAIN.WARMUP_EPOCHS,
         steps_per_epoch=max(len(train_loader), 1),
         weight_decay=cfg.TRAIN.WEIGHT_DECAY, optimizer=cfg.TRAIN.OPTIMIZER,
         momentum=cfg.TRAIN.MOMENTUM,

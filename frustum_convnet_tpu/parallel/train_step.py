@@ -37,6 +37,11 @@ class TrainStepConfig:
     min_lr: float = 1e-5
     gamma: float = 0.1
     lr_steps: Sequence[int] = (20,)  # epoch milestones
+    # linear LR warmup over the first N epochs (fractional ok). A rebuild-
+    # only addition (the reference has none): the standard stabilizer for
+    # linear-LR-scaled large-batch recipes (Goyal et al. 2017) — cfg key
+    # TRAIN.WARMUP_EPOCHS. 0 reproduces the reference schedule exactly.
+    warmup_epochs: float = 0.0
     steps_per_epoch: int = 1000
     weight_decay: float = 1e-4
     optimizer: str = "adam"  # adam | sgd
@@ -71,8 +76,12 @@ def multistep_lr(cfg: TrainStepConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
             k = jnp.floor(epoch / step_size)
         else:
             k = jnp.sum(epoch >= milestones)
-        lr = cfg.base_lr * (cfg.gamma ** k)
-        return jnp.maximum(lr, cfg.min_lr)
+        lr = jnp.maximum(cfg.base_lr * (cfg.gamma ** k), cfg.min_lr)
+        if cfg.warmup_epochs > 0:  # static: 0 keeps the reference graph
+            wsteps = float(cfg.warmup_epochs) * cfg.steps_per_epoch
+            warm = cfg.base_lr * (step + 1.0) / wsteps
+            lr = jnp.where(step < wsteps, warm, lr)
+        return lr
 
     return schedule
 

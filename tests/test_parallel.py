@@ -183,6 +183,31 @@ def test_lr_schedule_matches_reference_semantics():
         assert abs(got - want) < 1e-9, (epoch, got, want)
 
 
+def test_lr_warmup_ramps_then_matches_reference_schedule():
+    """TRAIN.WARMUP_EPOCHS (rebuild-only, for LR-scaled large-batch
+    recipes): linear ramp to BASE_LR over the warmup window, then exactly
+    the reference schedule; 0 reproduces the reference graph."""
+    from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig,
+                                                         multistep_lr)
+    spe = 10
+    base = TrainStepConfig(lr_steps=(20,), steps_per_epoch=spe,
+                           base_lr=4e-3)
+    warm = TrainStepConfig(lr_steps=(20,), steps_per_epoch=spe,
+                           base_lr=4e-3, warmup_epochs=5)
+    s0, sw = multistep_lr(base), multistep_lr(warm)
+    wsteps = 5 * spe
+    # ramp: (step+1)/wsteps of base_lr, monotone increasing
+    for step in (0, 10, wsteps - 1):
+        got = float(sw(jnp.asarray(step, jnp.float32)))
+        want = 4e-3 * (step + 1) / wsteps
+        assert abs(got - want) < 1e-6 * want, (step, got)
+    # at and after the warmup boundary: identical to the reference schedule
+    for step in (wsteps, 25 * spe, 40 * spe, 60 * spe):
+        a = float(sw(jnp.asarray(step, jnp.float32)))
+        b = float(s0(jnp.asarray(step, jnp.float32)))
+        assert a == b, (step, a, b)
+
+
 def test_focal_loss_zero_foreground_is_bounded():
     """A batch with zero foreground sections must produce a bounded cls
     loss (dense-masked analogue of the reference's fg assertion,
