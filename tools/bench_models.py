@@ -8,6 +8,7 @@ methodology as bench.py. ``--train`` benches the full training step
 (fwd + grads + adam + sync-BN, carried state) instead of inference.
 
 Usage: python tools/bench_models.py [--iters 30] [--batches 32,256] [--train]
+       [--dtype bfloat16]
 """
 
 from __future__ import annotations
@@ -28,7 +29,8 @@ CFGS = tuple(os.path.join(_ROOT, "cfgs", name) for name in (
 ))
 
 
-def bench_cfg(cfg_file: str, batches, iters: int, train: bool = False):
+def bench_cfg(cfg_file: str, batches, iters: int, train: bool = False,
+              dtype: str = ""):
     from bench import scan_bench_infer, scan_bench_train
     from frustum_convnet_tpu.configs import config as config_mod
     from frustum_convnet_tpu.models.net import FrustumConvNet
@@ -37,6 +39,9 @@ def bench_cfg(cfg_file: str, batches, iters: int, train: bool = False):
 
     cfg = config_mod.get_default_cfg()
     config_mod.merge_cfg_from_file(cfg_file, cfg)
+    if dtype:  # override the cfg's compute dtype (e.g. the bf16 train recipe)
+        key = "COMPUTE_DTYPE" if train else "INFER_DTYPE"
+        config_mod.merge_cfg_from_list(["TPU." + key, dtype], cfg)
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=train))
 
@@ -51,13 +56,16 @@ def main():
     ap.add_argument("--batches", default="32,256")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step instead of inference")
+    ap.add_argument("--dtype", default="",
+                    help="compute dtype override (e.g. bfloat16 — the "
+                         "supported scaled-batch train recipe)")
     args = ap.parse_args()
     batches = tuple(int(x) for x in args.batches.split(","))
 
     rows = []
     for cfg_file in CFGS:
         spec, rates = bench_cfg(cfg_file, batches, args.iters,
-                                train=args.train)
+                                train=args.train, dtype=args.dtype)
         name = os.path.splitext(os.path.basename(cfg_file))[0]
         shape = (f"N={spec.num_points} scales={spec.num_scales} "
                  f"sections={sum(spec.num_refs)}")
