@@ -121,6 +121,11 @@ def _build_default_cfg() -> AttrDict:
     C.TPU.MESH_SHAPE = [-1]  # data-parallel axis; -1 = all devices
     C.TPU.MESH_AXES = ["data"]
     C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16
+    # optional separate dtype for the conv trunk + heads ("" = follow the
+    # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
+    # step speedup (the floor is the PointNet-stage activation traffic)
+    # while scaled-batch training regains its AP band (BENCH_NOTES).
+    C.TPU.TRUNK_DTYPE = ""
     # inference compute dtype (params stay f32). bfloat16 measured perf-neutral
     # on v5e for this model (the Pallas grouping kernel dominates, BENCH_NOTES),
     # so the default keeps float32 numerics.

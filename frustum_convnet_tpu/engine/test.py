@@ -33,6 +33,7 @@ from frustum_convnet_tpu.engine import checkpoints as ckpt
 from frustum_convnet_tpu.evaluation.kitti_writer import write_detection_results
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                  get_trunk_dtype,
                                                   get_model_spec)
 from frustum_convnet_tpu.parallel.train_step import (TrainStepConfig, TrainState,
                                                      init_state, make_optimizer)
@@ -458,7 +459,8 @@ def main(argv=None):
         logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False),
+                           trunk_dtype=get_trunk_dtype(cfg))
     provider_cls = get_provider_class(cfg)
     dataset = provider_cls(cfg, cfg.TEST.DATASET, one_hot=True,
                            from_rgb_detection=cfg.FROM_RGB_DET,

@@ -31,6 +31,7 @@ from frustum_convnet_tpu.models.det import decode_outputs
 from frustum_convnet_tpu.evaluation.sunrgbd_eval import build_gt_all, eval_det
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                  get_trunk_dtype,
                                                   get_model_spec)
 from frustum_convnet_tpu.utils.logger import get_logger
 
@@ -245,7 +246,8 @@ def main(argv=None):
         logger.info(f"mesh: {mesh}")
 
     spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False),
+                           trunk_dtype=get_trunk_dtype(cfg))
     dataset = FrustumSunrgbdProvider(
         cfg, cfg.TEST.DATASET, one_hot=True,
         from_rgb_detection=cfg.FROM_RGB_DET,

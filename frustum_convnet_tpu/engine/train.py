@@ -32,7 +32,8 @@ from frustum_convnet_tpu.engine import checkpoints as ckpt
 from frustum_convnet_tpu.engine.loader import BatchLoader
 from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import (get_compute_dtype,
-                                                  get_model_spec)
+                                                  get_model_spec,
+                                                  get_trunk_dtype)
 from frustum_convnet_tpu.parallel.mesh import (is_chief, make_mesh,
                                                maybe_initialize_distributed,
                                                shard_batch)
@@ -208,6 +209,7 @@ def main(argv=None):
 
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
+                           trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=cfg.TPU.FAST_BN,
                            remat_pointnet=cfg.TPU.REMAT_POINTNET)
 

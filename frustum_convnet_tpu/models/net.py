@@ -216,6 +216,15 @@ class FrustumConvNet(nn.Module):
     spec: DetModelSpec
     dtype: Any = jnp.float32
     fast_bn: bool = False  # cfg.TPU.FAST_BN: analytic BN stats in the MLPs
+    # cfg.TPU.TRUNK_DTYPE: optional separate computation dtype for the 1D
+    # conv encoder-decoder + heads (None = follow ``dtype``). The train
+    # step's bandwidth floor is the (B, M, K, C) PointNet activations, so
+    # ``dtype=bfloat16, trunk_dtype=float32`` keeps most of the bf16 step
+    # speedup while the trunk/heads — where scaled-batch training loses its
+    # AP margin to bf16 rounding (BENCH_NOTES "bf16 scaled-batch AP
+    # campaign") — run in float32. Params stay float32 in every mode and
+    # the variable tree is dtype-independent, so checkpoints interchange.
+    trunk_dtype: Any = None
     # cfg.TPU.REMAT_POINTNET: rematerialize the per-scale MLP stacks in the
     # backward pass instead of saving their (B, M, K, C) activations — the
     # train step's HBM floor is exactly those tensors (BENCH_NOTES "Train-
@@ -264,17 +273,18 @@ class FrustumConvNet(nn.Module):
             scale_feats.append(jnp.concatenate([f, oh], axis=-1))
 
         # --- 1D conv encoder-decoder (ref ConvFeatNet, det_base.py:163-224)
+        td = self.dtype if self.trunk_dtype is None else self.trunk_dtype
         ch = s.block_channels
-        x = ConvBNReLU(ch[0], 3, 1, 1, dtype=self.dtype,
-                       name="block1_conv1")(scale_feats[0], train)
+        x = ConvBNReLU(ch[0], 3, 1, 1, dtype=td,
+                       name="block1_conv1")(scale_feats[0].astype(td), train)
         laterals = []
         for b in range(1, len(ch)):
-            x = ConvBNReLU(ch[b], 3, 2, 1, dtype=self.dtype,
+            x = ConvBNReLU(ch[b], 3, 2, 1, dtype=td,
                            name=f"block{b + 1}_conv1")(x, train)
-            x = ConvBNReLU(ch[b], 3, 1, 1, dtype=self.dtype,
+            x = ConvBNReLU(ch[b], 3, 1, 1, dtype=td,
                            name=f"block{b + 1}_conv2")(x, train)
-            x = jnp.concatenate([x, scale_feats[b].astype(self.dtype)], axis=-1)
-            x = ConvBNReLU(ch[b], 1, 1, 0, dtype=self.dtype,
+            x = jnp.concatenate([x, scale_feats[b].astype(td)], axis=-1)
+            x = ConvBNReLU(ch[b], 1, 1, 0, dtype=td,
                            name=f"block{b + 1}_merge")(x, train)
             laterals.append(x)
 
@@ -282,16 +292,16 @@ class FrustumConvNet(nn.Module):
         out_len = laterals[0].shape[1]
         for b, lat in enumerate(laterals):
             k = 2 ** b
-            u = DeConvBNReLU(s.deconv_channels, k, k, dtype=self.dtype,
+            u = DeConvBNReLU(s.deconv_channels, k, k, dtype=td,
                              name=f"block{b + 2}_deconv")(lat, train)
             ups.append(u[:, :out_len])
         x = jnp.concatenate(ups, axis=-1)  # (B, L, head_channels)
 
         # --- heads (ref det_base.py:250-258)
         cls_logits = nn.Dense(s.num_classes, kernel_init=_kaiming_uniform,
-                              dtype=self.dtype, name="cls_out")(x)
+                              dtype=td, name="cls_out")(x)
         reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform,
-                       dtype=self.dtype, name="reg_out")(x)
+                       dtype=td, name="reg_out")(x)
         return cls_logits.astype(jnp.float32), reg.astype(jnp.float32)
 
 

@@ -31,3 +31,14 @@ def get_compute_dtype(cfg, train: bool):
 
     name = cfg.TPU.COMPUTE_DTYPE if train else cfg.TPU.INFER_DTYPE
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def get_trunk_dtype(cfg):
+    """Resolve cfg.TPU.TRUNK_DTYPE — the optional separate computation dtype
+    for the conv trunk + heads ("" = None = follow the model dtype)."""
+    import jax.numpy as jnp
+
+    name = cfg.TPU.TRUNK_DTYPE
+    if not name:
+        return None
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]

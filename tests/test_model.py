@@ -175,3 +175,45 @@ def test_remat_pointnet_is_exact():
     for a, b2 in zip(jax.tree_util.tree_leaves(bs0),
                      jax.tree_util.tree_leaves(bs1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_trunk_dtype_mixed_precision():
+    """cfg.TPU.TRUNK_DTYPE: bf16 PointNet stage + f32 conv trunk/heads.
+    The variable tree must be identical to the uniform-dtype model (params
+    stay float32 -> checkpoints interchange), outputs stay float32, and
+    with trunk_dtype equal to the model dtype the outputs are bitwise the
+    plain model's."""
+    cfg = make_cfg(False)
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    pts, one_hot, refs = make_batch(spec)
+
+    plain = FrustumConvNet(spec, dtype=jnp.bfloat16)
+    mixed = FrustumConvNet(spec, dtype=jnp.bfloat16, trunk_dtype=jnp.float32)
+    v = jax.jit(
+        lambda p, o, r: plain.init(jax.random.PRNGKey(0), p, o, r, train=False)
+    )(pts, one_hot, refs)
+    vm = jax.jit(
+        lambda p, o, r: mixed.init(jax.random.PRNGKey(0), p, o, r, train=False)
+    )(pts, one_hot, refs)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(vm["params"]))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(vm["params"]))
+
+    cl, rg = jax.jit(
+        lambda vv, p, o, r: mixed.apply(vv, p, o, r, train=False)
+    )(v, pts, one_hot, refs)
+    assert cl.dtype == jnp.float32 and rg.dtype == jnp.float32
+    assert np.isfinite(np.asarray(cl)).all()
+    assert np.isfinite(np.asarray(rg)).all()
+
+    # trunk_dtype == dtype reproduces the plain model bitwise
+    same = FrustumConvNet(spec, dtype=jnp.bfloat16, trunk_dtype=jnp.bfloat16)
+    cl0, rg0 = jax.jit(
+        lambda vv, p, o, r: plain.apply(vv, p, o, r, train=False)
+    )(v, pts, one_hot, refs)
+    cl1, rg1 = jax.jit(
+        lambda vv, p, o, r: same.apply(vv, p, o, r, train=False)
+    )(v, pts, one_hot, refs)
+    np.testing.assert_array_equal(np.asarray(cl0), np.asarray(cl1))
+    np.testing.assert_array_equal(np.asarray(rg0), np.asarray(rg1))

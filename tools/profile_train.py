@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="float32",
                     help="train compute dtype (cfg.TPU.COMPUTE_DTYPE)")
+    ap.add_argument("--trunk_dtype", default="",
+                    help="separate conv-trunk/heads dtype "
+                         "(cfg.TPU.TRUNK_DTYPE; '' = follow --dtype)")
     ap.add_argument("--metrics", default="1", choices=("0", "1"),
                     help="compute the per-step IoU metric in the scan step")
     ap.add_argument("--fast_bn", action="store_true",
@@ -67,9 +70,12 @@ def main():
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
                          "False", "TRAIN.BATCH_SIZE", str(args.batch),
-                         "TPU.COMPUTE_DTYPE", args.dtype], cfg)
+                         "TPU.COMPUTE_DTYPE", args.dtype,
+                         "TPU.TRUNK_DTYPE", args.trunk_dtype], cfg)
     spec = get_model_spec(cfg)
+    from frustum_convnet_tpu.models.registry import get_trunk_dtype
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
+                           trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=args.fast_bn,
                            remat_pointnet=args.remat)
     tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
