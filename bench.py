@@ -21,8 +21,10 @@ used to make ``vs_baseline`` meaningful; the BASELINE.json target is >=10x.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; the extra
 "train_throughput" key reports the full train step (fwd + grads + adam +
 sync-BN + per-step metrics) measured with the same on-device scan
-methodology, state carried between iterations, at the reference batch (32)
-and scaled batches.
+methodology, state carried between iterations. Its headline value is
+selected ONLY from SUPPORTED_TRAIN_RECIPES — recipes whose 50-epoch
+protocol AP landed inside the reference's ±0.5 band (BENCH_NOTES.md) —
+and carries the recipe + its notes section as provenance.
 
 Set ``BENCH_TRACE_DIR=/tmp/trace`` to additionally capture a ``jax.profiler``
 trace of one timed dispatch per batch size (inspect with xprof/tensorboard);
@@ -51,6 +53,27 @@ BATCHES = (32, 256, 1024)  # reference batch + serving batches (1024 ~ +2% over 
 TRAIN_BATCHES = (32, 128, 256)  # reference train batch + scaled batches
 ITERS = 50
 TRIALS = 3
+
+# Supported fast-training recipes. INVARIANT: every row here is backed by a
+# full 50-epoch protocol AP run recorded in a BENCH_NOTES.md table, landing
+# inside the reference's own +-0.5 reproducibility band vs the f32/batch-32
+# baseline (Car 3D AP 90.64 on the synthetic protocol). The train headline
+# below is selected ONLY from this table. Recipes measured OUT of band are
+# deliberately absent — e.g. bf16/b128/lr4e-3 reached 3608 f/s but lost
+# 1.0 AP ("bf16 scaled-batch AP campaign" in BENCH_NOTES) and must not be
+# headlined. Fields: (batch, compute_dtype, trunk_dtype, lr, notes_section).
+SUPPORTED_TRAIN_RECIPES = (
+    (32, "float32", "", 1e-3,
+     "Full 50-epoch reference protocol on chip (round 3)"),
+    (32, "bfloat16", "", 1e-3, "bf16 training validation (round 4)"),
+    (128, "float32", "", 4e-3, "LR-scaled large-batch recipes (round 5)"),
+)
+
+# Secondary inference configs reported in the per_config block: the
+# refinement stage (the config behind the north-star AP target), the
+# people ladder (2.5x the flagship's sections) and SUN-RGBD (5 scales,
+# 2048 points), each at the batch-256 serving point.
+PER_CONFIG_YAMLS = ("refine_car", "det_sample_people", "det_sample_sunrgbd")
 
 # v5e MXU peak (bf16 systolic-array rate). Used for BOTH compute dtypes:
 # jax's default matmul precision on TPU lowers float32-stored matmuls to
@@ -261,6 +284,22 @@ def scan_bench_serving(model, spec, group: int, bsz: int, method: str = "nms",
     return group * bsz / best
 
 
+def bench_secondary_config(name: str, bsz: int, iters: int = 30) -> float:
+    """Frustums/sec of one non-flagship config (its own yaml shapes)."""
+    from frustum_convnet_tpu.configs import config as config_mod
+    from frustum_convnet_tpu.models.net import FrustumConvNet
+    from frustum_convnet_tpu.models.registry import (get_compute_dtype,
+                                                     get_model_spec)
+
+    cfg = config_mod.get_default_cfg()
+    config_mod.merge_cfg_from_file(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "cfgs", name + ".yaml"), cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=False))
+    return scan_bench_infer(model, spec, bsz, iters=iters)
+
+
 def main():
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
     from frustum_convnet_tpu.models.net import FrustumConvNet
@@ -279,16 +318,33 @@ def main():
 
     serving = scan_bench_serving(model, spec, group=8, bsz=32)
 
+    # f32 train sweep across batches (the reference recipe + LR-scaled ones)
     train_model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True))
     train_per_batch = {}
     for bsz in TRAIN_BATCHES:
         train_per_batch[bsz] = scan_bench_train(train_model, spec, bsz)
 
-    # the bf16 scaled-batch recipe (batch 128, lr 4e-3, bfloat16 compute) is
-    # AP-validated on the 50-epoch synthetic protocol (BENCH_NOTES "bf16
-    # scaled-batch recipe") — the supported fast-training configuration
-    bf16_model = FrustumConvNet(spec, dtype=jnp.bfloat16)
-    train_bf16_128 = scan_bench_train(bf16_model, spec, 128)
+    # Train headline: best throughput among SUPPORTED_TRAIN_RECIPES only
+    # (each row has a protocol-band AP table in BENCH_NOTES behind it).
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    best_train, best_recipe = -1.0, None
+    for batch, dtype, trunk_dtype, lr, section in SUPPORTED_TRAIN_RECIPES:
+        if dtype == "float32" and not trunk_dtype and batch in train_per_batch:
+            fps = train_per_batch[batch]  # already measured in the f32 sweep
+        else:
+            m = FrustumConvNet(spec, dtype=dt[dtype],
+                               trunk_dtype=dt[trunk_dtype] if trunk_dtype
+                               else None)
+            fps = scan_bench_train(m, spec, batch)
+        if fps > best_train:
+            best_train, best_recipe = fps, {
+                "batch": batch, "dtype": dtype, "trunk_dtype": trunk_dtype,
+                "lr": lr, "ap_validated": True, "ap_notes": section}
+
+    # secondary configs at their own reference shapes (regression guard for
+    # the non-flagship paths; full sweep in tools/bench_models.py)
+    per_config = {name: round(bench_secondary_config(name, 256), 1)
+                  for name in PER_CONFIG_YAMLS}
 
     fpf = flops_per_frustum(spec)  # analytic forward FLOPs per frustum
 
@@ -299,11 +355,6 @@ def main():
 
     best_bsz = max(per_batch, key=per_batch.get)
     frustums_per_sec = per_batch[best_bsz]
-    best_train = max(max(train_per_batch.values()), train_bf16_128)
-    train_cfg = ({"batch": 128, "dtype": "bfloat16"}
-                 if train_bf16_128 >= max(train_per_batch.values()) else
-                 {"batch": max(train_per_batch, key=train_per_batch.get),
-                  "dtype": "float32"})
     print(json.dumps({
         "metric": "inference_throughput_kitti_det_base",
         "value": round(frustums_per_sec, 1),
@@ -322,6 +373,8 @@ def main():
             "group": 8,
             **hw(serving),
         },
+        # batch-256 frustums/sec of the non-flagship configs (own shapes)
+        "per_config_batch256": per_config,
         "train_throughput": {
             "value": round(best_train, 1),
             "unit": "frustums/sec/chip",
@@ -330,13 +383,11 @@ def main():
             # amortized over the engine's shipped metric cadence (monitoring
             # metrics every disp=50 steps; parameter trajectory identical)
             "metric_cadence": 50,
-            # every reported config is backed by a protocol-band AP run
-            # (BENCH_NOTES): batch 32/lr 1e-3 (f32 + bf16), batch 128/lr 4e-3
-            # (f32 + bf16)
-            **train_cfg,
+            # provenance: the headline recipe and its BENCH_NOTES AP section
+            # (SUPPORTED_TRAIN_RECIPES invariant — in-band recipes only)
+            "recipe": best_recipe,
             "per_batch": {str(k): round(v, 1)
                           for k, v in train_per_batch.items()},
-            "per_batch_bf16": {"128": round(train_bf16_128, 1)},
             **hw(best_train, TRAIN_FLOPS_MULT),
         },
     }))

@@ -123,8 +123,11 @@ def _build_default_cfg() -> AttrDict:
     C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
-    # step speedup (the floor is the PointNet-stage activation traffic)
-    # while scaled-batch training regains its AP band (BENCH_NOTES).
+    # step speedup — measured 36.7 ms vs pure bf16's 36.4 ms at batch 128
+    # (the floor is the PointNet-stage activation traffic, BENCH_NOTES
+    # "Mixed-stage precision") — while keeping the trunk/head math in f32;
+    # whether that preserves the AP band at scaled batch is measured by its
+    # 50-epoch protocol run in the same BENCH_NOTES section.
     C.TPU.TRUNK_DTYPE = ""
     # inference compute dtype (params stay f32). bfloat16 measured perf-neutral
     # on v5e for this model (the Pallas grouping kernel dominates, BENCH_NOTES),

@@ -504,8 +504,9 @@ def main(argv=None):
                            inflight=cfg.TPU.INFER_INFLIGHT, mesh=mesh,
                            points_dtype=cfg.TPU.INFER_POINTS_DTYPE)
     if not chief:
-        # every host streamed the same batches through the sharded graph and
-        # holds identical det_results; the result dir belongs to process 0
+        # each host streamed its own batch shard and run_test already merged
+        # all detections with one all-gather, so every host holds identical
+        # det_results; the result dir belongs to process 0
         return None
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     data_dir = write_detection_results(result_dir, det_results, split_ids,

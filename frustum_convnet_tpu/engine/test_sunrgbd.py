@@ -262,8 +262,9 @@ def main(argv=None):
                                    group=cfg.TPU.INFER_GROUP, mesh=mesh,
                                    points_dtype=cfg.TPU.INFER_POINTS_DTYPE)
     if not chief:
-        # every host streamed the same batches through the sharded graph and
-        # holds identical det_results; the result dir belongs to process 0
+        # each host streamed its own batch shard and run_test_sunrgbd already
+        # merged all detections with one all-gather, so every host holds
+        # identical det_results; the result dir belongs to process 0
         return None
     nms_thresh = cfg.TEST.THRESH if cfg.TEST.METHOD == "nms" else None
     pred_all = to_corner_results(det_results, nms_thresh)
