@@ -154,6 +154,12 @@ def _build_default_cfg() -> AttrDict:
     # reduction over the (B, M, K, C) pre-activation. Same math as flax BN
     # (mean2 - mean^2), different summation order. Off by default.
     C.TPU.FAST_BN = False
+    # Analytic BN statistics on each scale's FIRST MLP layer only: the
+    # (Cin, Cin) input moment is 3x3 there (grouped xyz), so the stat math
+    # and its gradient are ~free while the skipped pre-activation reduction
+    # + residual save cover the widest per-layer tensor of each scale.
+    # Subsumed by FAST_BN when that is on. Off by default.
+    C.TPU.FAST_BN_FIRST = False
     # Rematerialize the per-scale PointNet MLP stacks in the backward pass
     # (jax.checkpoint): the train step's HBM floor is saving/reloading the
     # (B, M, K, C) activations; recomputing them from the 3-channel grouped

@@ -211,6 +211,7 @@ def main(argv=None):
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
                            trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=cfg.TPU.FAST_BN,
+                           fast_bn_first=cfg.TPU.FAST_BN_FIRST,
                            remat_pointnet=cfg.TPU.REMAT_POINTNET)
 
     provider_cls = get_provider_class(cfg)

@@ -182,6 +182,7 @@ class PointNetScale(nn.Module):
     use_feature: bool
     dtype: Any = jnp.float32
     fast_bn: bool = False
+    fast_bn_first: bool = False
 
     @nn.compact
     def __call__(self, points, ref, train: bool = False, grouped=None):
@@ -195,9 +196,10 @@ class PointNetScale(nn.Module):
             g, cnt = group_depth_point_auto(feats, ref, self.dist, self.nsample)
         else:
             g, cnt = grouped
-        for width in self.mlp:
+        for li, width in enumerate(self.mlp):
             g = DenseBNReLU(width, dtype=self.dtype,
-                            fast_stats=self.fast_bn)(g, train)
+                            fast_stats=self.fast_bn
+                            or (li == 0 and self.fast_bn_first))(g, train)
         valid = (cnt > 0)[..., None, None]
         g = jnp.where(valid, g, 0.0)
         return jnp.max(g, axis=2)  # (B, M, mlp[-1])
@@ -216,6 +218,16 @@ class FrustumConvNet(nn.Module):
     spec: DetModelSpec
     dtype: Any = jnp.float32
     fast_bn: bool = False  # cfg.TPU.FAST_BN: analytic BN stats in the MLPs
+    # cfg.TPU.FAST_BN_FIRST: analytic BN stats on each scale's FIRST MLP
+    # layer only. Layer 1 is the one place the trade is asymmetric: its
+    # input is the (B, M, K, 3) grouped points, so the stat moment is a
+    # trivial (3, 3) matmul and the backward's extra reads are of the
+    # 3-channel input — while the skipped reduction (and the skipped
+    # residual save) is over the (B, M, K, 64..256) layer-1 pre-activation,
+    # the widest per-layer tensor of each scale. The full FAST_BN loses this
+    # asymmetry at the 64/128/256-channel inner layers (measured +41% step
+    # time; BENCH_NOTES "Analytic BN on chip").
+    fast_bn_first: bool = False
     # cfg.TPU.TRUNK_DTYPE: optional separate computation dtype for the 1D
     # conv encoder-decoder + heads (None = follow ``dtype``). The train
     # step's bandwidth floor is the (B, M, K, C) PointNet activations, so
@@ -263,6 +275,7 @@ class FrustumConvNet(nn.Module):
                 use_feature=s.use_extra_feature,
                 dtype=self.dtype,
                 fast_bn=self.fast_bn,
+                fast_bn_first=self.fast_bn_first,
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train, groups[i])
             # append one-hot class vector at every section; cast to the

@@ -150,6 +150,70 @@ def test_fast_bn_spmd_train_step():
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_fast_bn_first_variable_tree_forward_and_stats_match():
+    """FAST_BN_FIRST (analytic stats on each scale's first MLP layer only):
+    identical variable tree, train-mode forward and running-stat updates
+    within reduction-order tolerance, eval path bitwise-shared."""
+    spec, pts, one_hot, refs = _setup()
+    ref_model = FrustumConvNet(spec)
+    first_model = FrustumConvNet(spec, fast_bn_first=True)
+
+    v_ref = ref_model.init(jax.random.PRNGKey(3), pts, one_hot, refs, train=True)
+    v_first = first_model.init(jax.random.PRNGKey(3), pts, one_hot, refs,
+                               train=True)
+    assert (jax.tree_util.tree_structure(v_ref)
+            == jax.tree_util.tree_structure(v_first))
+    for a, b in zip(jax.tree_util.tree_leaves(v_ref),
+                    jax.tree_util.tree_leaves(v_first)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    (cls_r, reg_r), mut_r = ref_model.apply(
+        v_ref, pts, one_hot, refs, train=True, mutable=["batch_stats"])
+    (cls_f, reg_f), mut_f = first_model.apply(
+        v_ref, pts, one_hot, refs, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(cls_f), np.asarray(cls_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg_f), np.asarray(reg_r),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_r),
+                    jax.tree_util.tree_leaves(mut_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+    cls_er, _ = ref_model.apply(v_ref, pts, one_hot, refs, train=False)
+    cls_ef, _ = first_model.apply(v_ref, pts, one_hot, refs, train=False)
+    np.testing.assert_array_equal(np.asarray(cls_er), np.asarray(cls_ef))
+
+
+def test_fast_bn_first_gradients_match():
+    spec, pts, one_hot, refs = _setup()
+    ref_model = FrustumConvNet(spec)
+    first_model = FrustumConvNet(spec, fast_bn_first=True)
+    v = ref_model.init(jax.random.PRNGKey(0), pts, one_hot, refs, train=True)
+
+    def loss(params, model):
+        (cls, reg), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            pts, one_hot, refs, train=True, mutable=["batch_stats"])
+        return jnp.mean(cls ** 2) + jnp.mean(reg ** 2)
+
+    g_ref = jax.grad(loss)(v["params"], ref_model)
+    g_first = jax.grad(loss)(v["params"], first_model)
+    # same noise-aware criterion as test_fast_bn_gradients_match: f32
+    # summation-order perturbations get amplified at relu boundaries
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_first)):
+        assert pa == pb
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel_l2 = np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12)
+        assert rel_l2 < 5e-2, (jax.tree_util.keystr(pa), rel_l2)
+        cos = np.dot(a.ravel(), b.ravel()) / (
+            np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.995, (jax.tree_util.keystr(pa), cos)
+
+
 def test_fast_bn_gradients_match():
     spec, pts, one_hot, refs = _setup()
     ref_model = FrustumConvNet(spec)

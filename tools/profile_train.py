@@ -52,6 +52,9 @@ def main():
                     help="compute the per-step IoU metric in the scan step")
     ap.add_argument("--fast_bn", action="store_true",
                     help="analytic BN batch statistics (cfg.TPU.FAST_BN)")
+    ap.add_argument("--fast_bn_first", action="store_true",
+                    help="analytic BN stats on each scale's first MLP layer "
+                         "only (cfg.TPU.FAST_BN_FIRST)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the PointNet MLP stacks in backward "
                          "(cfg.TPU.REMAT_POINTNET)")
@@ -77,6 +80,7 @@ def main():
     model = FrustumConvNet(spec, dtype=get_compute_dtype(cfg, train=True),
                            trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=args.fast_bn,
+                           fast_bn_first=args.fast_bn_first,
                            remat_pointnet=args.remat)
     tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
     tx = make_optimizer(tcfg)
