@@ -123,11 +123,11 @@ def _build_default_cfg() -> AttrDict:
     C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
-    # step speedup — measured 36.7 ms vs pure bf16's 36.4 ms at batch 128
-    # (the floor is the PointNet-stage activation traffic, BENCH_NOTES
-    # "Mixed-stage precision") — while keeping the trunk/head math in f32;
-    # whether that preserves the AP band at scaled batch is measured by its
-    # 50-epoch protocol run in the same BENCH_NOTES section.
+    # step speedup (36.7 ms vs pure bf16's 36.4 ms at batch 128) BUT its
+    # 50-epoch protocol run measured Car 3D AP 76.4 at batch 128/lr 4e-3 —
+    # 13 AP below even pure bf16, heading collapse — so it is NOT a
+    # supported training recipe (BENCH_NOTES "Mixed-stage precision"). The
+    # mechanism is kept for experimentation only.
     C.TPU.TRUNK_DTYPE = ""
     # inference compute dtype (params stay f32). bfloat16 measured perf-neutral
     # on v5e for this model (the Pallas grouping kernel dominates, BENCH_NOTES),
