@@ -12,6 +12,7 @@ per run against shared checkpoints.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
 from frustum_convnet_tpu.data.fixtures import make_batch
@@ -108,11 +109,11 @@ print('OK', fwd, worst)
     assert r.stdout.startswith("OK")
 
 
+@pytest.mark.slow  # ~1 min: two full sharded-step compiles
 def test_fast_bn_spmd_train_step():
     """FAST_BN inside the full sharded train step: the analytic stats reduce
     over the global batch (sync-BN semantics) and the step matches the
     stock-BN step within reduction-order tolerance."""
-    import pytest
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -31,12 +31,17 @@ pytestmark = pytest.mark.skipif(
     not oracle.reference_available(), reason="/root/reference not mounted"
 )
 
+# the 5-scale SUN-RGBD variant costs ~35 s/test to trace+compile; its
+# parity coverage runs in the full (CI) tier, the quick tier keeps the
+# 4-scale KITTI configs
+_SUNRGBD_SLOW = pytest.param("det_sample_sunrgbd.yaml",
+                             marks=pytest.mark.slow)
 CONFIGS = [
     "det_sample.yaml",
     "det_sample_people.yaml",
     "refine_car.yaml",
     "refine_people.yaml",
-    "det_sample_sunrgbd.yaml",
+    _SUNRGBD_SLOW,
 ]
 
 # f32 forward through ~13 conv/BN layers: torch and XLA accumulate in
@@ -112,7 +117,7 @@ def test_eval_forward_parity(cfg_name, tmp_path):
             np.asarray(dec[k]), ref_out[k], err_msg=f"{cfg_name}:{k}", **TOL)
 
 
-@pytest.mark.parametrize("cfg_name", ["det_sample.yaml", "det_sample_sunrgbd.yaml"])
+@pytest.mark.parametrize("cfg_name", ["det_sample.yaml", _SUNRGBD_SLOW])
 def test_train_bn_logits_parity(cfg_name, tmp_path):
     """Train-mode BatchNorm (batch statistics, not running averages) produces
     the same logits — checks the BN axes/momentum conventions match torch."""
@@ -133,7 +138,7 @@ def test_train_bn_logits_parity(cfg_name, tmp_path):
     np.testing.assert_allclose(np.asarray(reg), ref_reg, **TOL)
 
 
-@pytest.mark.parametrize("cfg_name", ["det_sample.yaml", "det_sample_sunrgbd.yaml"])
+@pytest.mark.parametrize("cfg_name", ["det_sample.yaml", _SUNRGBD_SLOW])
 def test_training_losses_parity(cfg_name, tmp_path):
     """The dense-masked loss reformulation (`models/det.py:59-160`) equals
     the reference's dynamic fg-gather branch (`det_base.py:414-503`) — every

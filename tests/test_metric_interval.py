@@ -48,15 +48,41 @@ class _PlainStep:
         self.loss_keys = tuple(loss_keys)
 
 
+# model/optimizer/compiled-step singletons shared by every test in this
+# module (both tests use identical shapes, so rebuilding the jitted steps
+# per test only repeats ~20 s XLA compiles; the batches differ per test)
+_SHARED = {}
+
+
+def _shared_model():
+    if not _SHARED:
+        cfg = get_default_cfg()
+        merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
+                             "False", "DATA.NUM_SAMPLES", "128",
+                             "DATA.MAX_DEPTH", "16"], cfg)
+        spec = get_model_spec(cfg)
+        model = FrustumConvNet(spec)
+        tcfg = TrainStepConfig()
+        tx = make_optimizer(tcfg)
+        _SHARED.update(cfg=cfg, spec=spec, model=model, tcfg=tcfg, tx=tx,
+                       steps={})
+    return (_SHARED["cfg"], _SHARED["spec"], _SHARED["model"],
+            _SHARED["tcfg"], _SHARED["tx"])
+
+
+def _shared_step(compute_metrics: bool):
+    cfg, spec, model, tcfg, tx = _shared_model()
+    steps = _SHARED["steps"]
+    if compute_metrics not in steps:
+        c = (tcfg if compute_metrics
+             else dataclasses.replace(tcfg, compute_metrics=False))
+        steps[compute_metrics] = build_train_step_accum(
+            model, spec, tx, c, mesh=None, donate=False)
+    return steps[compute_metrics]
+
+
 def _setup(n_batches=5, batch=4):
-    cfg = get_default_cfg()
-    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
-                         "False", "DATA.NUM_SAMPLES", "128",
-                         "DATA.MAX_DEPTH", "16"], cfg)
-    spec = get_model_spec(cfg)
-    model = FrustumConvNet(spec)
-    tcfg = TrainStepConfig()
-    tx = make_optimizer(tcfg)
+    cfg, spec, model, tcfg, tx = _shared_model()
     batches = []
     for s in range(n_batches):
         b = make_batch(spec, batch=batch, seed=s, with_labels=True)
@@ -68,13 +94,8 @@ def _setup(n_batches=5, batch=4):
 
 
 def _run(cfg, spec, model, tcfg, tx, batches, state, metric_interval):
-    fn = build_train_step_accum(model, spec, tx, tcfg, mesh=None, donate=False)
-    fast = None
-    if metric_interval > 1:
-        fast = build_train_step_accum(
-            model, spec, tx,
-            dataclasses.replace(tcfg, compute_metrics=False),
-            mesh=None, donate=False)
+    fn = _shared_step(True)
+    fast = _shared_step(False) if metric_interval > 1 else None
     step = _PlainStep(fn, fast_fn=fast, loss_keys=det.LOSS_KEYS)
     accum = init_accum(det.LOSS_KEYS + det.metric_keys(cfg.IOU_THRESH))
     logger = logging.getLogger("test_metric_interval")
@@ -117,7 +138,7 @@ def test_metric_interval_metric_average_covers_sampled_steps_only():
     _, avg = _run(cfg, spec, model, tcfg, tx, batches, state,
                   metric_interval=100)
 
-    fn = build_train_step_accum(model, spec, tx, tcfg, mesh=None, donate=False)
+    fn = _shared_step(True)
     accum = init_accum(det.LOSS_KEYS + det.metric_keys(cfg.IOU_THRESH))
     _, _, _, metrics0 = fn(state, accum, batches[0])
     for k in det.metric_keys(cfg.IOU_THRESH):

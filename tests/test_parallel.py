@@ -141,6 +141,7 @@ def test_two_spmd_steps_stay_in_sync():
     assert int(s.step) == 2
 
 
+@pytest.mark.slow  # ~2 min: subprocess re-spawn with a 32-device platform
 @pytest.mark.parametrize("n", [32])
 def test_dryrun_multichip_scales_beyond_eight(n):
     """The SPMD train step compiles + executes on wider data-parallel meshes
