@@ -20,17 +20,34 @@ from frustum_convnet_tpu.models.net import FrustumConvNet
 from frustum_convnet_tpu.models.registry import get_model_spec
 
 
+_CACHE = {}
+
+
 def _setup():
-    cfg = get_default_cfg()
-    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
-                         "False", "DATA.NUM_SAMPLES", "128",
-                         "DATA.MAX_DEPTH", "16"], cfg)
-    spec = get_model_spec(cfg)
-    batch = make_batch(spec, batch=4, seed=0, with_labels=False)
-    pts = jnp.asarray(batch["point_cloud"])
-    one_hot = jnp.asarray(batch["one_hot"])
-    refs = [jnp.asarray(r) for r in batch["refs"]]
-    return spec, pts, one_hot, refs
+    if "spec" not in _CACHE:
+        cfg = get_default_cfg()
+        merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
+                             "False", "DATA.NUM_SAMPLES", "128",
+                             "DATA.MAX_DEPTH", "16"], cfg)
+        spec = get_model_spec(cfg)
+        batch = make_batch(spec, batch=4, seed=0, with_labels=False)
+        _CACHE.update(spec=spec,
+                      pts=jnp.asarray(batch["point_cloud"]),
+                      one_hot=jnp.asarray(batch["one_hot"]),
+                      refs=[jnp.asarray(r) for r in batch["refs"]])
+    return _CACHE["spec"], _CACHE["pts"], _CACHE["one_hot"], _CACHE["refs"]
+
+
+def _init_vars(model, seed):
+    """model.init re-traces the whole network (~10 s on this host); the
+    fast/first/stock variants produce identical variable trees by design
+    (asserted in the tree tests), so one init per seed serves every test."""
+    key = ("vars", seed)
+    if key not in _CACHE:
+        spec, pts, one_hot, refs = _setup()
+        _CACHE[key] = model.init(jax.random.PRNGKey(seed), pts, one_hot,
+                                 refs, train=True)
+    return _CACHE[key]
 
 
 def test_fast_bn_variable_tree_and_forward_match():
@@ -38,8 +55,9 @@ def test_fast_bn_variable_tree_and_forward_match():
     ref_model = FrustumConvNet(spec)
     fast_model = FrustumConvNet(spec, fast_bn=True)
 
-    v_ref = ref_model.init(jax.random.PRNGKey(3), pts, one_hot, refs, train=True)
-    v_fast = fast_model.init(jax.random.PRNGKey(3), pts, one_hot, refs, train=True)
+    v_ref = _init_vars(ref_model, 3)
+    v_fast = fast_model.init(jax.random.PRNGKey(3), pts, one_hot, refs,
+                             train=True)
 
     # identical variable trees (paths AND values: same rng, same inits)
     paths_ref = jax.tree_util.tree_structure(v_ref)
@@ -159,7 +177,7 @@ def test_fast_bn_first_variable_tree_forward_and_stats_match():
     ref_model = FrustumConvNet(spec)
     first_model = FrustumConvNet(spec, fast_bn_first=True)
 
-    v_ref = ref_model.init(jax.random.PRNGKey(3), pts, one_hot, refs, train=True)
+    v_ref = _init_vars(ref_model, 3)
     v_first = first_model.init(jax.random.PRNGKey(3), pts, one_hot, refs,
                                train=True)
     assert (jax.tree_util.tree_structure(v_ref)
@@ -190,7 +208,7 @@ def test_fast_bn_first_gradients_match():
     spec, pts, one_hot, refs = _setup()
     ref_model = FrustumConvNet(spec)
     first_model = FrustumConvNet(spec, fast_bn_first=True)
-    v = ref_model.init(jax.random.PRNGKey(0), pts, one_hot, refs, train=True)
+    v = _init_vars(ref_model, 0)
 
     def loss(params, model):
         (cls, reg), _ = model.apply(
@@ -219,7 +237,7 @@ def test_fast_bn_gradients_match():
     spec, pts, one_hot, refs = _setup()
     ref_model = FrustumConvNet(spec)
     fast_model = FrustumConvNet(spec, fast_bn=True)
-    v = ref_model.init(jax.random.PRNGKey(0), pts, one_hot, refs, train=True)
+    v = _init_vars(ref_model, 0)
 
     def loss(params, model):
         (cls, reg), _ = model.apply(
