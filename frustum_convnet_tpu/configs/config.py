@@ -153,6 +153,13 @@ def _build_default_cfg() -> AttrDict:
     # come from the layer-input second moment on the MXU instead of a
     # reduction over the (B, M, K, C) pre-activation. Same math as flax BN
     # (mean2 - mean^2), different summation order. Off by default.
+    # Ghost-BN group size for train-mode batch statistics (0 = global-batch
+    # sync-BN). group = per-GPU batch (e.g. 32) reproduces the reference's
+    # multi-GPU DataParallel BN, where each replica normalizes over its own
+    # sub-batch (train_net_det.py:308-309) — the semantics behind every
+    # reference multi-GPU run; the reference never normalizes over more
+    # than its per-GPU batch regardless of the global batch size.
+    C.TPU.BN_GROUP_SIZE = 0
     C.TPU.FAST_BN = False
     # Analytic BN statistics on each scale's FIRST MLP layer only: the
     # (Cin, Cin) input moment is 3x3 there (grouped xyz), so the stat math

@@ -212,7 +212,8 @@ def main(argv=None):
                            trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=cfg.TPU.FAST_BN,
                            fast_bn_first=cfg.TPU.FAST_BN_FIRST,
-                           remat_pointnet=cfg.TPU.REMAT_POINTNET)
+                           remat_pointnet=cfg.TPU.REMAT_POINTNET,
+                           bn_group=cfg.TPU.BN_GROUP_SIZE)
 
     provider_cls = get_provider_class(cfg)
     train_ds = provider_cls(cfg, cfg.TRAIN.DATASET, random_flip=True,

@@ -64,6 +64,75 @@ class _StatsBN(nn.Module):
         return ((yt - mean) * inv + bias).astype(self.dtype)
 
 
+class GhostBN(nn.Module):
+    """BatchNorm with *ghost* (per-group) batch statistics, train mode only.
+
+    Splits the batch into ``B // group`` groups of ``group`` rows and
+    normalizes each group with its own statistics — the semantics the
+    reference actually trains with under multi-GPU ``nn.DataParallel``
+    (`/root/reference/train/train_net_det.py:308-309`): each replica
+    computes BN over its per-GPU sub-batch, so a batch-128 run on 4 GPUs
+    normalizes over 32, never over 128. ``group = TRAIN.BATCH_SIZE /
+    NUM_GPUS`` reproduces that exactly; sync-BN (the global-batch default)
+    is the ``group == B`` limit.
+
+    Variable layout (params ``scale``/``bias``, batch_stats ``mean``/``var``)
+    matches ``nn.BatchNorm(momentum=0.9)``, so checkpoints interchange.
+    Running averages update with the *mean of the group statistics* — the
+    per-``group``-sized biased statistics a DataParallel replica would
+    produce (torch keeps replica 0's; averaging the groups is the
+    lower-variance equivalent with the same expectation).
+    """
+
+    group: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        c = y.shape[-1]
+        b = y.shape[0]
+        assert b % self.group == 0, (
+            f"batch {b} not divisible by BN group {self.group}")
+        g = b // self.group
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        stat_dtype = jnp.promote_types(jnp.float32, y.dtype)
+        yt = y.astype(stat_dtype).reshape((g, self.group) + y.shape[1:])
+        axes = tuple(range(1, yt.ndim - 1))
+        # flax's mean2 - mean^2 formulation, per group
+        mean = jnp.mean(yt, axis=axes)  # (g, c)
+        mean2 = jnp.mean(jnp.square(yt), axis=axes)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(mean, 0)
+            ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(var, 0)
+        shape = (g,) + (1,) * (yt.ndim - 2) + (c,)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
+        out = (yt - mean.reshape(shape)) * inv.reshape(shape) + bias
+        return out.reshape(y.shape).astype(self.dtype)
+
+
+def _apply_bn(y, train: bool, dtype, bn_group: int):
+    """Stock flax BatchNorm, or GhostBN when ``bn_group`` > 0 in train mode.
+
+    Same module name ("BatchNorm_0" under the caller's @nn.compact scope)
+    and variable layout either way, so the variable tree is independent of
+    the choice and checkpoints interchange.
+    """
+    if train and bn_group > 0:
+        return GhostBN(group=bn_group, momentum=0.9, epsilon=1e-5,
+                       dtype=dtype, name="BatchNorm_0")(y)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, name="BatchNorm_0")(y)
+
+
 class DenseBNReLU(nn.Module):
     """1x1 conv + BN + ReLU as a Dense matmul (channels-last).
 
@@ -82,16 +151,15 @@ class DenseBNReLU(nn.Module):
     features: int
     dtype: Any = jnp.float32
     fast_stats: bool = False
+    bn_group: int = 0  # ghost-BN group size (0 = global batch statistics)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if not (train and self.fast_stats):
+        if not (train and self.fast_stats and self.bn_group == 0):
             x = nn.Dense(self.features, use_bias=False,
                          kernel_init=_kaiming_normal, dtype=self.dtype,
                          name="Dense_0")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name="BatchNorm_0")(x)
+            x = _apply_bn(x, train, self.dtype, self.bn_group)
             return nn.relu(x)
 
         dense = nn.Dense(self.features, use_bias=False,
@@ -127,6 +195,7 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     pad: int = 1
     dtype: Any = jnp.float32
+    bn_group: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -139,8 +208,7 @@ class ConvBNReLU(nn.Module):
             kernel_init=_kaiming_normal,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = _apply_bn(x, train, self.dtype, self.bn_group)
         return nn.relu(x)
 
 
@@ -151,6 +219,7 @@ class DeConvBNReLU(nn.Module):
     kernel: int
     stride: int
     dtype: Any = jnp.float32
+    bn_group: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -163,8 +232,7 @@ class DeConvBNReLU(nn.Module):
             kernel_init=_kaiming_normal,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = _apply_bn(x, train, self.dtype, self.bn_group)
         return nn.relu(x)
 
 
@@ -183,6 +251,7 @@ class PointNetScale(nn.Module):
     dtype: Any = jnp.float32
     fast_bn: bool = False
     fast_bn_first: bool = False
+    bn_group: int = 0
 
     @nn.compact
     def __call__(self, points, ref, train: bool = False, grouped=None):
@@ -199,7 +268,8 @@ class PointNetScale(nn.Module):
         for li, width in enumerate(self.mlp):
             g = DenseBNReLU(width, dtype=self.dtype,
                             fast_stats=self.fast_bn
-                            or (li == 0 and self.fast_bn_first))(g, train)
+                            or (li == 0 and self.fast_bn_first),
+                            bn_group=self.bn_group)(g, train)
         valid = (cnt > 0)[..., None, None]
         g = jnp.where(valid, g, 0.0)
         return jnp.max(g, axis=2)  # (B, M, mlp[-1])
@@ -244,6 +314,13 @@ class FrustumConvNet(nn.Module):
     # matmuls from the 3-channel grouped input, trading FLOPs for the
     # save/load traffic. Parameter gradients are mathematically identical.
     remat_pointnet: bool = False
+    # cfg.TPU.BN_GROUP_SIZE: ghost-BN group size for train-mode batch
+    # statistics (0 = global-batch sync-BN). ``group = per-GPU batch`` (e.g.
+    # 32) reproduces the reference's multi-GPU DataParallel BN semantics,
+    # where each replica normalizes over its own sub-batch
+    # (`train/train_net_det.py:308-309`) — the reference never normalizes
+    # over more than 32 rows regardless of the global batch.
+    bn_group: int = 0
 
     @nn.compact
     def __call__(self, points, one_hot, refs, train: bool = False):
@@ -276,6 +353,7 @@ class FrustumConvNet(nn.Module):
                 dtype=self.dtype,
                 fast_bn=self.fast_bn,
                 fast_bn_first=self.fast_bn_first,
+                bn_group=self.bn_group,
                 name=f"pointnet{i + 1}",
             )(points, refs[i], train, groups[i])
             # append one-hot class vector at every section; cast to the
@@ -288,16 +366,16 @@ class FrustumConvNet(nn.Module):
         # --- 1D conv encoder-decoder (ref ConvFeatNet, det_base.py:163-224)
         td = self.dtype if self.trunk_dtype is None else self.trunk_dtype
         ch = s.block_channels
-        x = ConvBNReLU(ch[0], 3, 1, 1, dtype=td,
+        x = ConvBNReLU(ch[0], 3, 1, 1, dtype=td, bn_group=self.bn_group,
                        name="block1_conv1")(scale_feats[0].astype(td), train)
         laterals = []
         for b in range(1, len(ch)):
-            x = ConvBNReLU(ch[b], 3, 2, 1, dtype=td,
+            x = ConvBNReLU(ch[b], 3, 2, 1, dtype=td, bn_group=self.bn_group,
                            name=f"block{b + 1}_conv1")(x, train)
-            x = ConvBNReLU(ch[b], 3, 1, 1, dtype=td,
+            x = ConvBNReLU(ch[b], 3, 1, 1, dtype=td, bn_group=self.bn_group,
                            name=f"block{b + 1}_conv2")(x, train)
             x = jnp.concatenate([x, scale_feats[b].astype(td)], axis=-1)
-            x = ConvBNReLU(ch[b], 1, 1, 0, dtype=td,
+            x = ConvBNReLU(ch[b], 1, 1, 0, dtype=td, bn_group=self.bn_group,
                            name=f"block{b + 1}_merge")(x, train)
             laterals.append(x)
 
@@ -306,6 +384,7 @@ class FrustumConvNet(nn.Module):
         for b, lat in enumerate(laterals):
             k = 2 ** b
             u = DeConvBNReLU(s.deconv_channels, k, k, dtype=td,
+                             bn_group=self.bn_group,
                              name=f"block{b + 2}_deconv")(lat, train)
             ups.append(u[:, :out_len])
         x = jnp.concatenate(ups, axis=-1)  # (B, L, head_channels)

@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the PointNet MLP stacks in backward "
                          "(cfg.TPU.REMAT_POINTNET)")
+    ap.add_argument("--bn_group", type=int, default=0,
+                    help="ghost-BN group size (cfg.TPU.BN_GROUP_SIZE; "
+                         "0 = global sync-BN)")
     args = ap.parse_args()
 
     from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
@@ -81,7 +84,8 @@ def main():
                            trunk_dtype=get_trunk_dtype(cfg),
                            fast_bn=args.fast_bn,
                            fast_bn_first=args.fast_bn_first,
-                           remat_pointnet=args.remat)
+                           remat_pointnet=args.remat,
+                           bn_group=args.bn_group)
     tcfg = TrainStepConfig(compute_metrics=args.metrics == "1")
     tx = make_optimizer(tcfg)
 
