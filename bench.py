@@ -61,12 +61,15 @@ TRIALS = 3
 # below is selected ONLY from this table. Recipes measured OUT of band are
 # deliberately absent — e.g. bf16/b128/lr4e-3 reached 3608 f/s but lost
 # 1.0 AP ("bf16 scaled-batch AP campaign" in BENCH_NOTES) and must not be
-# headlined. Fields: (batch, compute_dtype, trunk_dtype, lr, notes_section).
+# headlined. Fields:
+# (batch, compute_dtype, trunk_dtype, bn_group, lr, notes_section);
+# bn_group > 0 = ghost-BN per-group statistics (TPU.BN_GROUP_SIZE — the
+# reference's own multi-GPU DataParallel BN semantics).
 SUPPORTED_TRAIN_RECIPES = (
-    (32, "float32", "", 1e-3,
+    (32, "float32", "", 0, 1e-3,
      "Full 50-epoch reference protocol on chip (round 3)"),
-    (32, "bfloat16", "", 1e-3, "bf16 training validation (round 4)"),
-    (128, "float32", "", 4e-3, "LR-scaled large-batch recipes (round 5)"),
+    (32, "bfloat16", "", 0, 1e-3, "bf16 training validation (round 4)"),
+    (128, "float32", "", 0, 4e-3, "LR-scaled large-batch recipes (round 5)"),
 )
 
 # Secondary inference configs reported in the per_config block: the
@@ -328,18 +331,22 @@ def main():
     # (each row has a protocol-band AP table in BENCH_NOTES behind it).
     dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
     best_train, best_recipe = -1.0, None
-    for batch, dtype, trunk_dtype, lr, section in SUPPORTED_TRAIN_RECIPES:
-        if dtype == "float32" and not trunk_dtype and batch in train_per_batch:
+    for batch, dtype, trunk_dtype, bn_group, lr, section in \
+            SUPPORTED_TRAIN_RECIPES:
+        if (dtype == "float32" and not trunk_dtype and not bn_group
+                and batch in train_per_batch):
             fps = train_per_batch[batch]  # already measured in the f32 sweep
         else:
             m = FrustumConvNet(spec, dtype=dt[dtype],
                                trunk_dtype=dt[trunk_dtype] if trunk_dtype
-                               else None)
+                               else None,
+                               bn_group=bn_group)
             fps = scan_bench_train(m, spec, batch)
         if fps > best_train:
             best_train, best_recipe = fps, {
                 "batch": batch, "dtype": dtype, "trunk_dtype": trunk_dtype,
-                "lr": lr, "ap_validated": True, "ap_notes": section}
+                "bn_group": bn_group, "lr": lr,
+                "ap_validated": True, "ap_notes": section}
 
     # secondary configs at their own reference shapes (regression guard for
     # the non-flagship paths; full sweep in tools/bench_models.py)
