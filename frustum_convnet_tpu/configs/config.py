@@ -120,7 +120,7 @@ def _build_default_cfg() -> AttrDict:
     C.TPU = AttrDict()
     C.TPU.MESH_SHAPE = [-1]  # data-parallel axis; -1 = all devices
     C.TPU.MESH_AXES = ["data"]
-    C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16
+    C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16 | float16
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
     # step speedup (36.7 ms vs pure bf16's 36.4 ms at batch 128) BUT its

@@ -23,7 +23,9 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from frustum_convnet_tpu.models.spec import DetModelSpec
 from frustum_convnet_tpu.ops.select_pallas import (group_depth_point_auto,
@@ -31,6 +33,78 @@ from frustum_convnet_tpu.ops.select_pallas import (group_depth_point_auto,
 
 _kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+# ---- float16-safe dense matmul -------------------------------------------
+#
+# float16 halves the (B, M, K, C) activation bandwidth that floors the
+# scaled-batch train step — with 8x the mantissa resolution of bfloat16,
+# whose rounding noise measured out of the AP band at batch 128 (BENCH_NOTES
+# "bf16 scaled-batch AP campaign"). But f16 shares float32's problem-free
+# exponent range only up to 65504: the weight-gradient dot dW = x^T @ g
+# reduces over every batch row (B*M*K ~ 4.6M at batch 128), and its SUMMED
+# values overflow f16's range even though every stored activation is tame —
+# measured as an immediate inf on the widest pointnet kernel at batch 4.
+# bfloat16 never hits this because it keeps f32's 8 exponent bits.
+#
+# The fix is surgical: only the dW dot's *output* needs float32 — a
+# weight-shaped (Cin, Cout) tensor, so the extra precision costs zero
+# activation bandwidth. The custom vjp below keeps x, y, g, and dx in
+# float16 (the bandwidth-carrying tensors) and emits dW in float32; the
+# kernel cast f32 -> f16 happens *inside* the op so the weight cotangent
+# never transits f16. Used by DenseBNReLU via flax's promote_dtype /
+# dot_general hooks, leaving the variable tree (and checkpoints) unchanged.
+
+@jax.custom_vjp
+def _f16_dense_dot(x, w):
+    """y = x @ w with x float16, w float32; y float16, dW float32."""
+    return lax.dot_general(x, w.astype(x.dtype),
+                           (((x.ndim - 1,), (0,)), ((), ())))
+
+
+def _f16_dense_dot_fwd(x, w):
+    return _f16_dense_dot(x, w), (x, w)
+
+
+def _f16_dense_dot_bwd(res, g):
+    x, w = res
+    # dx contracts only the Cout axis (<= 1024 terms of O(1) values): safe
+    # in f16, and keeping it f16 preserves the halved backward bandwidth.
+    dx = lax.dot_general(g, w.astype(g.dtype),
+                         (((g.ndim - 1,), (1,)), ((), ())))
+    # dW reduces over every batch row: accumulate AND store in f32.
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    dw = lax.dot_general(x2, g2, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    return dx, dw
+
+
+_f16_dense_dot.defvjp(_f16_dense_dot_fwd, _f16_dense_dot_bwd)
+
+
+def _f16_promote(inputs, kernel, bias, dtype=None):
+    """Dense promote_dtype hook: inputs to f16, kernel kept f32 (the cast
+    happens inside _f16_dense_dot so dW never transits f16)."""
+    assert bias is None  # DenseBNReLU uses use_bias=False
+    return jnp.asarray(inputs, dtype), kernel, bias
+
+
+def _f16_dot_general(x, w, dimension_numbers, precision=None, **_):
+    del precision  # f16 MXU path; precision knob is a no-op here
+    assert dimension_numbers == (((x.ndim - 1,), (0,)), ((), ()))
+    return _f16_dense_dot(x, w)
+
+
+def _make_dense(features, dtype, name):
+    """nn.Dense(use_bias=False) with the f16-safe dot when dtype is f16."""
+    if dtype == jnp.float16:
+        return nn.Dense(features, use_bias=False,
+                        kernel_init=_kaiming_normal, dtype=dtype,
+                        promote_dtype=_f16_promote,
+                        dot_general=_f16_dot_general, name=name)
+    return nn.Dense(features, use_bias=False, kernel_init=_kaiming_normal,
+                    dtype=dtype, name=name)
 
 
 class _StatsBN(nn.Module):
@@ -156,15 +230,11 @@ class DenseBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         if not (train and self.fast_stats and self.bn_group == 0):
-            x = nn.Dense(self.features, use_bias=False,
-                         kernel_init=_kaiming_normal, dtype=self.dtype,
-                         name="Dense_0")(x)
+            x = _make_dense(self.features, self.dtype, "Dense_0")(x)
             x = _apply_bn(x, train, self.dtype, self.bn_group)
             return nn.relu(x)
 
-        dense = nn.Dense(self.features, use_bias=False,
-                         kernel_init=_kaiming_normal, dtype=self.dtype,
-                         name="Dense_0")
+        dense = _make_dense(self.features, self.dtype, "Dense_0")
         y = dense(x)
         kernel = dense.variables["params"]["kernel"]
         # stats in at-least-f32 (mirrors flax _compute_stats' promotion)

@@ -24,21 +24,28 @@ def get_model_spec(cfg):
     return MODEL_REGISTRY[name](cfg)
 
 
+def _dtypes():
+    import jax.numpy as jnp
+
+    # float16: same halved activation bandwidth as bfloat16 with 8x the
+    # mantissa resolution (10 vs 7 bits) — the candidate when bf16's
+    # rounding noise costs accuracy (BENCH_NOTES "bf16 scaled-batch AP
+    # campaign"). Params/BN stats/optimizer state stay float32 either way.
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}
+
+
 def get_compute_dtype(cfg, train: bool):
     """Resolve the model computation dtype from cfg.TPU.{COMPUTE,INFER}_DTYPE
     (params always stay float32; see models/net.FrustumConvNet)."""
-    import jax.numpy as jnp
-
     name = cfg.TPU.COMPUTE_DTYPE if train else cfg.TPU.INFER_DTYPE
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    return _dtypes()[name]
 
 
 def get_trunk_dtype(cfg):
     """Resolve cfg.TPU.TRUNK_DTYPE — the optional separate computation dtype
     for the conv trunk + heads ("" = None = follow the model dtype)."""
-    import jax.numpy as jnp
-
     name = cfg.TPU.TRUNK_DTYPE
     if not name:
         return None
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    return _dtypes()[name]

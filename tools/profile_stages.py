@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--trace", default=None)
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "float16"])
     args_cli = ap.parse_args()
     BATCH = args_cli.batch
 

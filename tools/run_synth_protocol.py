@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--cars", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--dtype", default="float32",
-                    choices=("float32", "bfloat16"))
+                    choices=("float32", "bfloat16", "float16"))
     ap.add_argument("--tag", default=None, help="output dir suffix")
     ap.add_argument("--cache", default="/tmp/fcn_tpu_protocol")
     ap.add_argument("--workers", type=int, default=1)
