@@ -120,7 +120,15 @@ def _build_default_cfg() -> AttrDict:
     C.TPU = AttrDict()
     C.TPU.MESH_SHAPE = [-1]  # data-parallel axis; -1 = all devices
     C.TPU.MESH_AXES = ["data"]
-    C.TPU.COMPUTE_DTYPE = "float32"  # train compute dtype: float32 | bfloat16 | float16
+    # Train compute dtype: float32 | bfloat16 | float16. Params, BN
+    # statistics, and optimizer state stay float32 in every mode. bfloat16
+    # halves the (B, M, K, C) activation bandwidth (+77% step at batch 128)
+    # but every bf16 scaled-batch recipe measured out of the AP band
+    # (BENCH_NOTES "bf16 scaled-batch AP campaign" + ghost-BN section);
+    # float16 keeps the same bandwidth win with 8x finer mantissa — its
+    # weight-gradient overflow hazard is guarded by models/net's
+    # f32-dW dense dot (BENCH_NOTES "float16 compute").
+    C.TPU.COMPUTE_DTYPE = "float32"
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
     # step speedup (36.7 ms vs pure bf16's 36.4 ms at batch 128) BUT its
@@ -158,7 +166,11 @@ def _build_default_cfg() -> AttrDict:
     # multi-GPU DataParallel BN, where each replica normalizes over its own
     # sub-batch (train_net_det.py:308-309) — the semantics behind every
     # reference multi-GPU run; the reference never normalizes over more
-    # than its per-GPU batch regardless of the global batch size.
+    # than its per-GPU batch regardless of the global batch size. NOTE:
+    # measured on the 50-epoch protocol, ghost-32 does NOT rescue the bf16
+    # batch-128 recipe (74.7 AP — worse than sync-BN's 89.25; BENCH_NOTES
+    # "Ghost-BN at scaled batch"); the knob is a semantics mechanism, not a
+    # supported recipe ingredient.
     C.TPU.BN_GROUP_SIZE = 0
     C.TPU.FAST_BN = False
     # Analytic BN statistics on each scale's FIRST MLP layer only: the
