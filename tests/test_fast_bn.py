@@ -204,6 +204,7 @@ def test_fast_bn_first_variable_tree_forward_and_stats_match():
     np.testing.assert_array_equal(np.asarray(cls_er), np.asarray(cls_ef))
 
 
+@pytest.mark.slow  # non-default knob; the full-FAST_BN grad parity stays quick
 def test_fast_bn_first_gradients_match():
     spec, pts, one_hot, refs = _setup()
     ref_model = FrustumConvNet(spec)

@@ -113,6 +113,7 @@ def test_ghost_bn_model_variable_tree_and_eval_path_shared():
     np.testing.assert_array_equal(np.asarray(cls_r), np.asarray(cls_g))
 
 
+@pytest.mark.slow  # non-default knob; tree/eval-path identity stays quick
 def test_ghost_bn_train_forward_differs_and_grads_flow():
     """With distinct groups the train forward must differ from sync-BN (the
     stats really are per-group), losses stay finite, and gradients flow to

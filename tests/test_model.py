@@ -177,6 +177,7 @@ def test_remat_pointnet_is_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
+@pytest.mark.slow  # non-default knob (no supported recipe uses it)
 def test_trunk_dtype_mixed_precision():
     """cfg.TPU.TRUNK_DTYPE: bf16 PointNet stage + f32 conv trunk/heads.
     The variable tree must be identical to the uniform-dtype model (params

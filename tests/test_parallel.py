@@ -122,6 +122,7 @@ def test_infer_group_dispatch_spmd_matches_single_device(method):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # second-step variant of the SPMD equivalence above
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_two_spmd_steps_stay_in_sync():
     """Two successive sharded steps: state remains replicated-consistent and
