@@ -172,6 +172,16 @@ def _build_default_cfg() -> AttrDict:
     # "Ghost-BN at scaled batch"); the knob is a semantics mechanism, not a
     # supported recipe ingredient.
     C.TPU.BN_GROUP_SIZE = 0
+    # Precision schedule: run the FINAL N epochs of training with float32
+    # compute regardless of COMPUTE_DTYPE (0 = off). Params/BN/optimizer
+    # state are dtype-independent, so the switch is just a second jitted
+    # step graph from the same TrainState; the LR schedule rides
+    # state.step and is continuous across it. Rationale: half-precision
+    # scaled-batch recipes converge to a slightly worse box-regression
+    # optimum (f16/b128 lands 0.3 outside the ±0.5 AP band, BENCH_NOTES
+    # "float16 compute") — a short f32 tail at the decayed LR re-polishes
+    # the optimum while keeping most of the half-precision step-time win.
+    C.TPU.F32_FINETUNE_EPOCHS = 0
     C.TPU.FAST_BN = False
     # Analytic BN statistics on each scale's FIRST MLP layer only: the
     # (Cin, Cin) input moment is 3x3 there (grouped xyz), so the stat math

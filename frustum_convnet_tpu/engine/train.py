@@ -306,6 +306,31 @@ def main(argv=None):
             mesh=mesh, donate=cfg.TPU.DONATE)
     eval_fn = build_eval_step(model, spec, step_cfg, mesh=mesh)
     eval_fn_tail = build_eval_step(model, spec, step_cfg, mesh=None)
+
+    # cfg.TPU.F32_FINETUNE_EPOCHS: final N epochs switch to float32 step
+    # graphs (same TrainState — params/BN/optimizer are dtype-independent;
+    # the LR schedule rides state.step and is continuous). The f32 graphs
+    # compile lazily on first use at the switch epoch.
+    ft_start = None
+    if (cfg.TPU.F32_FINETUNE_EPOCHS > 0
+            and cfg.TPU.COMPUTE_DTYPE != "float32"):
+        ft_start = max(cfg.TRAIN.MAX_EPOCH - cfg.TPU.F32_FINETUNE_EPOCHS, 0)
+        ft_model = FrustumConvNet(spec, dtype=jnp.float32,
+                                  fast_bn=cfg.TPU.FAST_BN,
+                                  fast_bn_first=cfg.TPU.FAST_BN_FIRST,
+                                  remat_pointnet=cfg.TPU.REMAT_POINTNET,
+                                  bn_group=cfg.TPU.BN_GROUP_SIZE)
+        ft_train_fn = build_train_step_accum(ft_model, spec, tx, step_cfg,
+                                             mesh=mesh, donate=cfg.TPU.DONATE)
+        ft_fast_fn = None
+        if metric_interval > 1:
+            import dataclasses as _dc
+            ft_fast_fn = build_train_step_accum(
+                ft_model, spec, tx, _dc.replace(step_cfg,
+                                                compute_metrics=False),
+                mesh=mesh, donate=cfg.TPU.DONATE)
+        ft_eval_fn = build_eval_step(ft_model, spec, step_cfg, mesh=mesh)
+        ft_eval_fn_tail = build_eval_step(ft_model, spec, step_cfg, mesh=None)
     iou_key = f"IoU_{cfg.IOU_THRESH}"
     accum_keys = det.LOSS_KEYS + det.metric_keys(cfg.IOU_THRESH)
 
@@ -323,15 +348,26 @@ def main(argv=None):
         return
 
     step = _Step(train_fn, mesh, fast_fn=fast_fn, loss_keys=det.LOSS_KEYS)
+    ft_step = (_Step(ft_train_fn, mesh, fast_fn=ft_fast_fn,
+                     loss_keys=det.LOSS_KEYS)
+               if ft_start is not None else None)
     for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
         t0 = time.time()
+        finetune = ft_start is not None and epoch >= ft_start
+        if finetune and epoch == ft_start:
+            logger.info(f"epoch {epoch}: switching to float32 fine-tune "
+                        f"steps (TPU.F32_FINETUNE_EPOCHS="
+                        f"{cfg.TPU.F32_FINETUNE_EPOCHS})")
         accum = jax.device_put(init_accum(accum_keys),
                                jax.sharding.NamedSharding(
                                    mesh, jax.sharding.PartitionSpec()))
-        state, _ = run_epoch_train(step, state, accum, train_loader, epoch,
+        state, _ = run_epoch_train(ft_step if finetune else step, state,
+                                   accum, train_loader, epoch,
                                    logger, writer, cfg.disp,
                                    metric_interval=metric_interval)
-        prec = run_epoch_eval(eval_fn, eval_fn_tail, mesh, state, val_loader,
+        prec = run_epoch_eval(ft_eval_fn if finetune else eval_fn,
+                              ft_eval_fn_tail if finetune else eval_fn_tail,
+                              mesh, state, val_loader,
                               epoch, logger, writer, iou_key)
         is_best = prec > best_prec
         if is_best:

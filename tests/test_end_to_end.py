@@ -287,6 +287,33 @@ def test_resume_and_finetune_paths(workdir, monkeypatch):
     assert log_epochs2[-4:] == [0, 1, 2, 3], log_epochs2
 
 
+def test_f32_finetune_precision_schedule(workdir, monkeypatch):
+    """cfg.TPU.F32_FINETUNE_EPOCHS: a float16 run whose final epoch switches
+    to the float32 step graphs (BENCH_NOTES "float16 compute") — the engine
+    logs the switch, trains through it on the same TrainState, and finishes
+    with a loadable checkpoint."""
+    import frustum_convnet_tpu.configs.config as config_mod
+    from frustum_convnet_tpu.engine import train as train_mod
+
+    out_dir = os.path.join(workdir["output_dir"], "f32ft")
+    monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
+    monkeypatch.setattr(train_mod, "cfg", config_mod.cfg, raising=True)
+    train_mod.main(["--cfg", "cfgs/det_sample.yaml"] + TINY_OVERRIDES + [
+        "DATA.DATA_ROOT", workdir["pickle_dir"],
+        "OUTPUT_DIR", out_dir,
+        "TPU.COMPUTE_DTYPE", "float16",
+        "TPU.F32_FINETUNE_EPOCHS", "1",
+    ])
+    final = os.path.join(out_dir, "checkpoints", "model_final.msgpack")
+    assert os.path.exists(final)
+    log = open(os.path.join(out_dir, "train.log")).read()
+    assert "switching to float32 fine-tune steps" in log
+    # both epochs ran (epoch 0 in f16, epoch 1 in f32) and losses stayed
+    # finite through the switch
+    assert "epoch 0 done" in log and "epoch 1 done" in log
+    assert "nan" not in log.lower()
+
+
 def test_eval_mode_early_exit(workdir, monkeypatch):
     """EVAL_MODE runs one validation pass on loaded weights and exits
     without training (ref `train_net_det.py:363-365`)."""
