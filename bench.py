@@ -75,6 +75,11 @@ SUPPORTED_TRAIN_RECIPES = (
     (32, "bfloat16", "", 0, 0, 1e-3, "bf16 training validation (round 4)"),
     (128, "float32", "", 0, 0, 4e-3,
      "LR-scaled large-batch recipes (round 5)"),
+    # precision schedule: f16 for the first 10 high-LR epochs, f32 from
+    # epoch 10 on — protocol AP 90.15/90.31/90.31, in band (BENCH_NOTES
+    # "float16 compute", run 3). Amortized 10.2x.
+    (128, "float16", "", 0, 40, 4e-3,
+     "float16 compute (round 4): bf16's bandwidth win without its mantissa"),
 )
 
 # Epoch count of the reference training protocol (README.md:133-136 /

@@ -176,11 +176,13 @@ def _build_default_cfg() -> AttrDict:
     # compute regardless of COMPUTE_DTYPE (0 = off). Params/BN/optimizer
     # state are dtype-independent, so the switch is just a second jitted
     # step graph from the same TrainState; the LR schedule rides
-    # state.step and is continuous across it. Rationale: half-precision
-    # scaled-batch recipes converge to a slightly worse box-regression
-    # optimum (f16/b128 lands 0.3 outside the ±0.5 AP band, BENCH_NOTES
-    # "float16 compute") — a short f32 tail at the decayed LR re-polishes
-    # the optimum while keeping most of the half-precision step-time win.
+    # state.step and is continuous across it. Measured (BENCH_NOTES
+    # "float16 compute"): half-precision AP cost is per-epoch and only
+    # recoverable by f32 epochs BEFORE the optimum forms — the supported
+    # schedule is float16 + F32_FINETUNE_EPOCHS=40 at batch 128/lr 4e-3
+    # (f16 epochs 0-9 only), protocol AP 90.15/90.31/90.31 (in band),
+    # amortized 2,178 f/s/chip = 10.2x; an f32 tail AFTER the decay
+    # (N=10) recovers nothing.
     C.TPU.F32_FINETUNE_EPOCHS = 0
     C.TPU.FAST_BN = False
     # Analytic BN statistics on each scale's FIRST MLP layer only: the
