@@ -122,12 +122,16 @@ def _build_default_cfg() -> AttrDict:
     C.TPU.MESH_AXES = ["data"]
     # Train compute dtype: float32 | bfloat16 | float16. Params, BN
     # statistics, and optimizer state stay float32 in every mode. bfloat16
-    # halves the (B, M, K, C) activation bandwidth (+77% step at batch 128)
-    # but every bf16 scaled-batch recipe measured out of the AP band
-    # (BENCH_NOTES "bf16 scaled-batch AP campaign" + ghost-BN section);
-    # float16 keeps the same bandwidth win with 8x finer mantissa — its
-    # weight-gradient overflow hazard is guarded by models/net's
-    # f32-dW dense dot (BENCH_NOTES "float16 compute").
+    # halves the (B, M, K, C) activation bandwidth that floors the step
+    # (18.5 -> 11.45 ms at batch 32; 64.4 -> 36.4 ms at batch 128) and is
+    # AP-validated at the reference batch 32 (90.45, in band — the
+    # supported training-throughput headline, 13.5x); every bf16
+    # *scaled-batch* recipe measured out of the AP band (BENCH_NOTES
+    # "bf16 scaled-batch AP campaign" + ghost-BN section). float16 keeps
+    # the same bandwidth win with 8x finer mantissa — its weight-gradient
+    # overflow hazard is guarded by models/net's f32-dW dense dot — and is
+    # supported at scaled batch via the F32_FINETUNE_EPOCHS schedule below
+    # (BENCH_NOTES "float16 compute").
     C.TPU.COMPUTE_DTYPE = "float32"
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
