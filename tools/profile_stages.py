@@ -69,7 +69,8 @@ def main():
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
     spec = get_model_spec(cfg)
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args_cli.dtype]
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "float16": jnp.float16}[args_cli.dtype]
     model = FrustumConvNet(spec, dtype=dtype)
 
     batch = make_batch(spec, batch=BATCH, seed=0, with_labels=False)
