@@ -313,6 +313,23 @@ def test_f32_finetune_precision_schedule(workdir, monkeypatch):
     assert "epoch 0 done" in log and "epoch 1 done" in log
     assert "nan" not in log.lower()
 
+    # RESUME directly INTO the fine-tune window: with MAX_EPOCH extended to
+    # 3 the resumed run starts at epoch 2 >= ft_start (3 - 1 = 2) and must
+    # train that epoch on the f32 graphs (switch log line re-emitted at the
+    # resumed epoch)
+    monkeypatch.setattr(config_mod, "cfg", config_mod.get_default_cfg())
+    monkeypatch.setattr(train_mod, "cfg", config_mod.cfg, raising=True)
+    train_mod.main(["--cfg", "cfgs/det_sample.yaml"] + TINY_OVERRIDES + [
+        "DATA.DATA_ROOT", workdir["pickle_dir"],
+        "OUTPUT_DIR", out_dir,
+        "TPU.COMPUTE_DTYPE", "float16",
+        "TPU.F32_FINETUNE_EPOCHS", "1",
+        "TRAIN.MAX_EPOCH", "3", "RESUME", "True",
+    ])
+    log = open(os.path.join(out_dir, "train.log")).read()
+    assert "epoch 2: switching to float32 fine-tune" in log
+    assert "epoch 2 done" in log
+
 
 def test_eval_mode_early_exit(workdir, monkeypatch):
     """EVAL_MODE runs one validation pass on loaded weights and exits
