@@ -26,7 +26,7 @@ def _setup():
         cfg = get_default_cfg()
         merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
                              "False", "DATA.NUM_SAMPLES", "128",
-                             "DATA.MAX_DEPTH", "16"], cfg)
+                             "DATA.MAX_DEPTH", "8"], cfg)
         spec = get_model_spec(cfg)
         batch = make_batch(spec, batch=8, seed=0, with_labels=False)
         _CACHE.update(spec=spec,

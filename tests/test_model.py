@@ -24,7 +24,7 @@ def make_cfg(sunrgbd=False):
         merge_cfg_from_list(
             ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
              "DATA.NUM_SAMPLES", "128",
-             "DATA.MAX_DEPTH", "16"],  # small ladder for test speed
+             "DATA.MAX_DEPTH", "8"],  # small ladder for test speed
             cfg,
         )
     return cfg

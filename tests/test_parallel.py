@@ -28,7 +28,7 @@ def _tiny_setup(batch=8):
     cfg = get_default_cfg()
     merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT",
                          "False", "DATA.NUM_SAMPLES", "128",
-                         "DATA.MAX_DEPTH", "16"], cfg)
+                         "DATA.MAX_DEPTH", "8"], cfg)
     spec = get_model_spec(cfg)
     model = FrustumConvNet(spec)
     tcfg = TrainStepConfig()
