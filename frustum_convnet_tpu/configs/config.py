@@ -60,6 +60,11 @@ def _build_default_cfg() -> AttrDict:
     C.TRAIN.MOMENTUM = 0.9
     C.TRAIN.WEIGHT_DECAY = 0.0
     C.TRAIN.DATASET = "train"  # train | val | trainval
+    # Rebuild-only: training RNG seed (param init + shuffle + augmentation).
+    # The reference hardcodes seed 3 (`train/train_net_det.py:64-68,247`);
+    # varying this measures run-to-run AP spread (the protocol noise floor).
+    # Offline data prep keeps its own fixed seed 3.
+    C.TRAIN.SEED = 3
 
     # ---- Model options (ref :94-98) ----
     C.MODEL = AttrDict()

@@ -202,7 +202,8 @@ def main(argv=None):
     logger = get_logger(os.path.join(output_dir, "train.log") if chief else None)
     logger.info(f"config: {args.cfg_file} overrides: {args.opts}")
 
-    np.random.seed(3)
+    seed = cfg.TRAIN.SEED
+    np.random.seed(seed)
 
     mesh = make_mesh(mesh_shape=tuple(cfg.TPU.MESH_SHAPE), axis_names=tuple(cfg.TPU.MESH_AXES))
     logger.info(f"mesh: {mesh}")
@@ -225,7 +226,7 @@ def main(argv=None):
                           extend_from_det=cfg.DATA.EXTEND_FROM_DET)
     pc, pi = jax.process_count(), jax.process_index()
     train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, spec.num_scales,
-                               shuffle=True, drop_last=True,
+                               shuffle=True, drop_last=True, seed=seed,
                                process_index=pi, process_count=pc,
                                prefetch=cfg.TPU.PREFETCH,
                                num_workers=cfg.NUM_WORKERS)
@@ -265,7 +266,7 @@ def main(argv=None):
         [train_ds.__getitem__(i % len(train_ds), ex_rng) for i in range(n_ex)],
         spec.num_scales)
     example_dev = device_batch(example, mesh)
-    state = init_state(model, tx, example_dev, seed=3)
+    state = init_state(model, tx, example_dev, seed=seed)
 
     start_epoch, best_prec, best_epoch = cfg.TRAIN.START_EPOCH, 0.0, 0
     paths = ckpt.checkpoint_paths(output_dir)

@@ -36,7 +36,11 @@ def decode_outputs(spec: DetModelSpec, cls_logits, reg, ref2):
     Returns dict with cls_probs (B, L, 2), centers (B, L, 3), headings (B, L),
     sizes (B, L, 3), heading_probs (B, L, nb), size_probs (B, L, ns).
     """
-    mean_sizes = jnp.asarray(spec.mean_size_array)
+    # full-precision size table cast to the computation dtype (never below
+    # f32), mirroring `det_base.py:357` `.type_as(point_cloud)` — so f64
+    # parity runs see f64 constants while f32/bf16 production is unchanged
+    mean_sizes = jnp.asarray(np.asarray(spec.mean_sizes, np.float64),
+                             jnp.promote_types(reg.dtype, jnp.float32))
     center_off, h_scores, h_res, s_scores, s_res = slice_reg_output(reg, spec)
     cls_probs = jax.nn.softmax(cls_logits, axis=-1)
     heading_probs = jax.nn.softmax(h_scores, axis=-1)
@@ -72,7 +76,8 @@ def compute_losses(
     box3d_heading (B,); box3d_size (B, 3); size_class (B,).
     Loss weighting follows `det_base.py:465-476`.
     """
-    mean_sizes = jnp.asarray(spec.mean_size_array)
+    mean_sizes = jnp.asarray(np.asarray(spec.mean_sizes, np.float64),
+                             jnp.promote_types(reg.dtype, jnp.float32))
     B, num_out = cls_logits.shape[0], cls_logits.shape[1]
     R = B * num_out
 

@@ -96,6 +96,31 @@ def _f16_dot_general(x, w, dimension_numbers, precision=None, **_):
     return _f16_dense_dot(x, w)
 
 
+def slot_max_pool(x, train: bool):
+    """Section max-pool over the slot axis, (B, M, K, C) -> (B, M, C), with
+    the reference's tie subgradient in train mode: the cotangent goes to the
+    FIRST slot attaining the max (torch ``Tensor.max(dim)`` routing,
+    `det_base.py:134-143`), not split evenly across ties.
+
+    The distinction is not academic: the depth-window query prefills unfilled
+    slots with the first hit (`query_depth_point_cuda_kernel.cu:56-59`), so
+    sparse sections carry many value-tied duplicate slots, and ``jnp.max``'s
+    even split measurably changes every upstream parameter gradient at
+    reference geometry (sections with cnt < nsample). Verified against torch
+    autograd in `tests/test_grad_parity.py`: first-slot routing restores
+    per-leaf gradient parity; the even split diverges at O(1).
+
+    Plain primitives (``take_along_axis`` of ``argmax`` — whose VJP scatters
+    to exactly that slot) rather than a custom_vjp so ``jax.checkpoint``
+    remat stays a pure scheduling choice; the eval path keeps the cheaper
+    single-pass ``reduce_max`` (identical values, no backward).
+    """
+    if train:
+        first = jnp.argmax(x, axis=2)
+        return jnp.take_along_axis(x, first[:, :, None, :], axis=2)[:, :, 0, :]
+    return jnp.max(x, axis=2)
+
+
 def _make_dense(features, dtype, name):
     """nn.Dense(use_bias=False) with the f16-safe dot when dtype is f16."""
     if dtype == jnp.float16:
@@ -107,15 +132,71 @@ def _make_dense(features, dtype, name):
                     dtype=dtype, name=name)
 
 
+def _bessel(n: int) -> float:
+    """torch BatchNorm updates its running variance with the *unbiased*
+    batch variance (x N/(N-1), `torch.nn.BatchNorm*`) while normalizing
+    with the biased one; flax uses the biased variance for both. The
+    running stats feed every eval-mode forward, so checkpoint interchange
+    and eval parity require torch's convention (pinned by
+    `tests/test_grad_parity.py::test_training_trajectory_parity`)."""
+    return float(n) / max(n - 1, 1)
+
+
+class TorchBN(nn.Module):
+    """``nn.BatchNorm`` twin with torch's running-variance convention.
+
+    Identical variable layout, normalization math (mean2 - mean^2 batch
+    statistics in promoted >=f32, biased variance), EMA ordering, and
+    output dtype as ``nn.BatchNorm(momentum=0.9)`` — the one difference is
+    the Bessel-corrected running-variance update (see ``_bessel``).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        c = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        stat_dtype = jnp.promote_types(jnp.float32, y.dtype)
+        yt = y.astype(stat_dtype)
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            red = tuple(range(y.ndim - 1))
+            mean = jnp.mean(yt, axis=red)
+            mean2 = jnp.mean(jnp.square(yt), axis=red)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                n = y.size // c
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * (var * _bessel(n)))
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
+        return ((yt - mean) * inv + bias).astype(self.dtype)
+
+
 class _StatsBN(nn.Module):
     """BatchNorm normalization with *externally supplied* batch statistics.
 
     Variable layout (params ``scale``/``bias``, batch_stats ``mean``/``var``)
-    and running-average update match ``nn.BatchNorm(momentum=0.9)`` exactly,
-    so a model can switch between this and the stock module per call with a
-    shared variable tree (checkpoints interchange either way).
+    and running-average update match ``TorchBN`` exactly (``n`` is the
+    reduction count behind the supplied statistics, for the Bessel-corrected
+    running-variance update), so a model can switch between this and the
+    stock module per call with a shared variable tree (checkpoints
+    interchange either way).
     """
 
+    n: int
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
@@ -132,7 +213,8 @@ class _StatsBN(nn.Module):
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-            ra_var.value = m * ra_var.value + (1.0 - m) * var
+            ra_var.value = (m * ra_var.value
+                            + (1.0 - m) * (var * _bessel(self.n)))
         inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
         yt = y.astype(jnp.promote_types(jnp.float32, y.dtype))
         return ((yt - mean) * inv + bias).astype(self.dtype)
@@ -185,8 +267,11 @@ class GhostBN(nn.Module):
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         if not self.is_initializing():
             m = self.momentum
+            n_group = y.size // (c * g)  # reduction count per ghost group
             ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(mean, 0)
-            ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(var, 0)
+            ra_var.value = (m * ra_var.value
+                            + (1.0 - m) * (jnp.mean(var, 0)
+                                           * _bessel(n_group)))
         shape = (g,) + (1,) * (yt.ndim - 2) + (c,)
         inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
         out = (yt - mean.reshape(shape)) * inv.reshape(shape) + bias
@@ -203,8 +288,8 @@ def _apply_bn(y, train: bool, dtype, bn_group: int):
     if train and bn_group > 0:
         return GhostBN(group=bn_group, momentum=0.9, epsilon=1e-5,
                        dtype=dtype, name="BatchNorm_0")(y)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=dtype, name="BatchNorm_0")(y)
+    return TorchBN(use_running_average=not train, momentum=0.9,
+                   epsilon=1e-5, dtype=dtype, name="BatchNorm_0")(y)
 
 
 class DenseBNReLU(nn.Module):
@@ -252,7 +337,7 @@ class DenseBNReLU(nn.Module):
         # projection mixes it.
         cov = (xf.T @ xf) / r - jnp.outer(mu_x, mu_x)
         var = jnp.sum((cov @ w) * w, axis=0)
-        y = _StatsBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = _StatsBN(n=r, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                      name="BatchNorm_0")(y, mean, var)
         return nn.relu(y)
 
@@ -342,7 +427,7 @@ class PointNetScale(nn.Module):
                             bn_group=self.bn_group)(g, train)
         valid = (cnt > 0)[..., None, None]
         g = jnp.where(valid, g, 0.0)
-        return jnp.max(g, axis=2)  # (B, M, mlp[-1])
+        return slot_max_pool(g, train)  # (B, M, mlp[-1])
 
 
 class FrustumConvNet(nn.Module):
@@ -464,7 +549,11 @@ class FrustumConvNet(nn.Module):
                               dtype=td, name="cls_out")(x)
         reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform,
                        dtype=td, name="reg_out")(x)
-        return cls_logits.astype(jnp.float32), reg.astype(jnp.float32)
+        # head outputs never below float32 (half-precision compute still
+        # yields f32 logits for the losses); an f64 run stays f64 so the
+        # torch-gradient-parity tier can separate semantics from round-off
+        out_dt = jnp.promote_types(jnp.float32, cls_logits.dtype)
+        return cls_logits.astype(out_dt), reg.astype(out_dt)
 
 
 def slice_reg_output(reg: jnp.ndarray, spec: DetModelSpec):

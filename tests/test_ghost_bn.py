@@ -38,14 +38,15 @@ def _setup():
 
 def test_ghost_bn_group_equals_batch_matches_stock_bn():
     """group == B is sync-BN: same normalize and same running-stat update as
-    nn.BatchNorm within reduction-order tolerance."""
-    import flax.linen as nn
+    the stock train-mode module (``TorchBN`` — nn.BatchNorm plus torch's
+    Bessel-corrected running variance) within reduction-order tolerance."""
+    from frustum_convnet_tpu.models.net import TorchBN
 
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.normal(size=(8, 6, 16)).astype(np.float32)) * 3 + 1
     ghost = GhostBN(group=8)
-    stock = nn.BatchNorm(use_running_average=False, momentum=0.9,
-                         epsilon=1e-5)
+    stock = TorchBN(use_running_average=False, momentum=0.9,
+                    epsilon=1e-5)
     v_g = ghost.init(jax.random.PRNGKey(0), y)
     v_s = stock.init(jax.random.PRNGKey(0), y)
     assert (jax.tree_util.tree_structure(v_g)
@@ -86,9 +87,13 @@ def test_ghost_bn_per_group_stats_match_numpy():
     np.testing.assert_allclose(
         np.asarray(mut["batch_stats"]["mean"]),
         0.1 * np.mean(means, axis=0), rtol=1e-5, atol=1e-6)
+    # running var uses the Bessel-corrected (unbiased) group variance,
+    # torch's BatchNorm convention; n = group * spatial rows per group
+    n_group = group * y_np.shape[1]
     np.testing.assert_allclose(
         np.asarray(mut["batch_stats"]["var"]),
-        0.9 * 1.0 + 0.1 * np.mean(vars_, axis=0), rtol=1e-5, atol=1e-5)
+        0.9 * 1.0 + 0.1 * np.mean(vars_, axis=0) * n_group / (n_group - 1),
+        rtol=1e-5, atol=1e-5)
 
 
 def test_ghost_bn_model_variable_tree_and_eval_path_shared():

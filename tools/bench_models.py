@@ -59,11 +59,19 @@ def main():
     ap.add_argument("--dtype", default="",
                     help="compute dtype override (e.g. bfloat16 — the "
                          "supported scaled-batch train recipe)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated config-name substrings to bench "
+                         "(e.g. refine,people); empty = all five")
     args = ap.parse_args()
     batches = tuple(int(x) for x in args.batches.split(","))
+    cfgs = CFGS
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        cfgs = tuple(c for c in CFGS
+                     if any(p in os.path.basename(c) for p in pats))
 
     rows = []
-    for cfg_file in CFGS:
+    for cfg_file in cfgs:
         spec, rates = bench_cfg(cfg_file, batches, args.iters,
                                 train=args.train, dtype=args.dtype)
         name = os.path.splitext(os.path.basename(cfg_file))[0]

@@ -55,10 +55,15 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16", "float16"])
+    ap.add_argument("--cfg", default=None,
+                    help="experiment yaml whose shapes to profile "
+                         "(default: flagship det_sample geometry)")
     args_cli = ap.parse_args()
     BATCH = args_cli.batch
 
-    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+    from frustum_convnet_tpu.configs import (get_default_cfg,
+                                             merge_cfg_from_file,
+                                             merge_cfg_from_list)
     from frustum_convnet_tpu.data.fixtures import make_batch
     from frustum_convnet_tpu.models.det import decode_outputs
     from frustum_convnet_tpu.models.net import FrustumConvNet, PointNetScale
@@ -67,7 +72,12 @@ def main():
                                                        query_depth_point_pallas)
 
     cfg = get_default_cfg()
-    merge_cfg_from_list(["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
+    if args_cli.cfg:
+        merge_cfg_from_file(args_cli.cfg, cfg)
+        merge_cfg_from_list(["DATA.WITH_EXTRA_FEAT", "False"], cfg)
+    else:
+        merge_cfg_from_list(
+            ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False"], cfg)
     spec = get_model_spec(cfg)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "float16": jnp.float16}[args_cli.dtype]

@@ -236,3 +236,59 @@ def export_state_dict(model, path: str):
 
     torch.save(model.state_dict(), path)
     return path
+
+
+def reference_grads(model, data_dicts):
+    """Training backward (`train/train_net_det.py:121-128`): run the
+    reference train branch, backprop ``total_loss``, and return
+    ``(losses, grad_state_dict)``.
+
+    The grad dict carries every parameter's ``.grad`` under its state-dict
+    key, plus the BN running buffers verbatim, so it can be routed through
+    the exact same layout mapping as weights
+    (`tools/import_reference_checkpoint.map_state_dict`) — gradients
+    transform identically to the parameters they correspond to.
+
+    NOTE: the train-mode forward updates BN running buffers in place;
+    snapshot the state dict for weight interchange *before* calling this.
+    """
+    import torch
+
+    model.train()
+    model.zero_grad()
+    losses, _metrics = model(data_dicts)
+    losses["total_loss"].mean().backward()
+    sd = {}
+    for name, p in model.named_parameters():
+        g = p.grad
+        sd[name] = (np.zeros(tuple(p.shape), np.float32) if g is None
+                    else np.asarray(g.detach().numpy()))
+    for name, b in model.named_buffers():
+        if not name.endswith("num_batches_tracked"):
+            sd[name] = np.asarray(b.detach().numpy())
+    model.eval()
+    to_np = {k: float(np.asarray(v.detach().numpy())) for k, v in losses.items()}
+    return to_np, sd
+
+
+def reference_adam_steps(model, batches, lr, weight_decay=0.0):
+    """The reference optimization loop (`train_net_det.py:115-128,322-323`)
+    over a fixed batch sequence: Adam(lr, betas=(0.9, 0.999), coupled L2
+    weight decay) on ``total_loss``. Returns the per-step loss values; the
+    model is left holding the stepped weights (read them back with
+    ``model.state_dict()``)."""
+    import torch
+
+    opt = torch.optim.Adam(model.parameters(), lr=lr, betas=(0.9, 0.999),
+                           weight_decay=weight_decay)
+    model.train()
+    seq = []
+    for dd in batches:
+        opt.zero_grad()
+        losses, _ = model(dd)
+        loss = losses["total_loss"].mean()
+        loss.backward()
+        opt.step()
+        seq.append(float(loss.detach()))
+    model.eval()
+    return seq

@@ -1,0 +1,132 @@
+"""Refinement-stage training protocol on synthetic KITTI, end to end.
+
+The refine twin of `tools/run_synth_protocol.py`, following the reference
+cascade (`scripts/car_all.sh:7-17`, `scripts/car_train_refine.sh`): a
+trained stage-1 model's val detections (the `val_nms/result/data` KITTI
+label files a stage-1 protocol run leaves behind) are re-cut into refine
+frustums by `data/kitti/prepare_refine.py` (GT-jittered x5 train path +
+rgb-detection val path from the stage-1 results, ref
+`prepare_data_refine.py:239-403,649-773`), then `cfgs/refine_car.yaml` is
+trained verbatim (50 epochs, 512 points, strides 0.1..0.8) and evaluated
+against the synthetic GT with the official-protocol Car AP.
+
+Used for the round-5 refine-recipe validation (VERDICT r4 item 2): run once
+with --dtype float32 and once with --dtype bfloat16 on the SAME stage-1
+results and compare final 3D AP (acceptance band +-0.5, same convention as
+the stage-1 campaign).
+
+Usage:
+  python tools/run_refine_protocol.py --dtype float32 \
+      --stage1 /tmp/fcn_tpu_protocol/run_f32_s4 [--tag rff32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from run_synth_protocol import build_dataset  # noqa: E402  (same cache)
+
+
+def build_refine_pickles(kitti_root: str, stage1_results: str, out_dir: str,
+                         workers: int):
+    """Refine-stage pickles: GT train path + stage-1-detections val path."""
+    from frustum_convnet_tpu.data.kitti import prepare_refine
+
+    done = os.path.join(out_dir, ".done")
+    if os.path.exists(done):
+        return
+    t0 = time.time()
+    prepare_refine.main([
+        "--gen_train", "--gen_val_rgb_detection", "--car_only",
+        "--data_root", kitti_root,
+        "--save_dir", out_dir,
+        "--val_res_dir", stage1_results,
+        "--workers", str(workers),
+    ])
+    open(done, "w").write("ok\n")
+    print(f"prepared refine pickles in {time.time() - t0:.1f}s -> {out_dir}",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--cars", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16", "float16"))
+    ap.add_argument("--stage1", required=True,
+                    help="stage-1 protocol OUTPUT_DIR whose val_nms results "
+                         "seed the refine val frustums")
+    ap.add_argument("--tag", default=None)
+    ap.add_argument("--cache", default="/tmp/fcn_tpu_protocol")
+    ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--override", nargs=2, action="append", default=[],
+                    metavar=("KEY", "VALUE"))
+    args = ap.parse_args()
+
+    kitti_root, _ = build_dataset(args.frames, args.cars, args.cache,
+                                  args.workers)
+    stage1_results = os.path.join(args.stage1, "val_nms", "result", "data")
+    assert os.path.isdir(stage1_results), stage1_results
+    s1tag = os.path.basename(os.path.normpath(args.stage1))
+    refine_pickles = os.path.join(args.cache, f"refine_pickles_{s1tag}")
+    build_refine_pickles(kitti_root, stage1_results, refine_pickles,
+                         args.workers)
+
+    tag = args.tag or f"refine_{args.dtype}_{args.epochs}ep"
+    out_dir = os.path.join(args.cache, f"run_{tag}")
+    overrides = [
+        "DATA.DATA_ROOT", refine_pickles,
+        "OUTPUT_DIR", out_dir,
+        "TRAIN.MAX_EPOCH", str(args.epochs),
+        "TPU.COMPUTE_DTYPE", args.dtype,
+        "USE_TFBOARD", "True",
+    ]
+    for k, v in args.override:
+        overrides += [k, v]
+    cfg_path = os.path.join(_ROOT, "cfgs", "refine_car.yaml")
+
+    t0 = time.time()
+    from frustum_convnet_tpu.engine import train as train_cli
+    train_cli.main(["--cfg", cfg_path] + overrides)
+    train_s = time.time() - t0
+    print(f"refine training done in {train_s:.0f}s", flush=True)
+
+    from frustum_convnet_tpu.configs import reset_cfg
+    reset_cfg()
+    from frustum_convnet_tpu.engine import test as test_cli
+    best = os.path.join(out_dir, "checkpoints", "model_best.msgpack")
+    results = test_cli.main([
+        "--cfg", cfg_path,
+        "--gt_dir", os.path.join(kitti_root, "training", "label_2"),
+        "--idx_path", os.path.join(kitti_root, "image_sets", "val.txt"),
+    ] + overrides + ["TEST.WEIGHTS", best])
+
+    summary = {
+        "stage": "refine",
+        "dtype": args.dtype,
+        "epochs": args.epochs,
+        "frames": args.frames,
+        "stage1": args.stage1,
+        "overrides": args.override,
+        "train_seconds": round(train_s, 1),
+        "ap": {k: [round(x, 2) for x in v["detection_3d"]]
+               for k, v in (results or {}).items()},
+        "ap_bev": {k: [round(x, 2) for x in v["detection_ground"]]
+                   for k, v in (results or {}).items()},
+    }
+    print("PROTOCOL_RESULT " + json.dumps(summary), flush=True)
+    with open(os.path.join(out_dir, "protocol_result.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
