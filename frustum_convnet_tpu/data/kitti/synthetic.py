@@ -52,8 +52,26 @@ _CLASS_SPECS = {
 }
 
 
+# Difficulty populations for ``difficulty_mix=True``: the three KITTI
+# difficulty gates (`evaluate_object_3d_offline.cpp:43-45` — MIN_HEIGHT
+# {40,25,25}px, MAX_OCCLUSION {0,1,2}, MAX_TRUNCATION {.15,.3,.5}) are only
+# exercised if the GT actually spans them. Each population controls depth
+# (image height), surface point density, an occlusion slice (a fraction of
+# the object's points removed, as a real occluder would shadow them), and a
+# truncation placement at the image edge (the out-of-FOV points are then
+# dropped by the prep FOV filter, `draw_util.get_lidar_in_image_fov`).
+#   name: (weight, depth range, n_points, occ level, point keep frac,
+#          trunc range)
+_DIFFICULTY_MIX = (
+    ("easy", 0.4, (8.0, 22.0), 400, 0, 1.0, (0.0, 0.0)),
+    ("moderate", 0.3, (24.0, 40.0), 140, 1, 0.65, (0.16, 0.28)),
+    ("hard", 0.3, (24.0, 40.0), 60, 2, 0.40, (0.32, 0.46)),
+)
+
+
 def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2,
-                         seed: int = 0, classes=("Car",)) -> None:
+                         seed: int = 0, classes=("Car",),
+                         difficulty_mix: bool = False) -> None:
     from PIL import Image
     from frustum_convnet_tpu.data.kitti.calib import Calibration
 
@@ -76,32 +94,65 @@ def make_synthetic_kitti(root: str, num_frames: int = 4, cars_per_frame: int = 2
             cls = (classes[0] if len(classes) == 1
                    else classes[int(rng.integers(len(classes)))])
             means, sigmas, typeid = _CLASS_SPECS[cls]
-            depth = rng.uniform(8, 35) if cls == "Car" else rng.uniform(5, 20)
+            if difficulty_mix:
+                names, weights = zip(*[(p[0], p[1]) for p in _DIFFICULTY_MIX])
+                pop = _DIFFICULTY_MIX[int(rng.choice(len(names), p=weights))]
+                _, _, (d0, d1), n_car, occ, keep_frac, (t0, t1) = pop
+                depth = rng.uniform(d0, d1)
+                trunc_goal = rng.uniform(t0, t1)
+            else:
+                depth = (rng.uniform(8, 35) if cls == "Car"
+                         else rng.uniform(5, 20))
+                n_car, occ, keep_frac, trunc_goal = 400, 0, 1.0, 0.0
             lateral = rng.uniform(-0.25, 0.25) * depth  # keep inside image FOV
             l, w, h = (m + rng.normal(0, s) for m, s in zip(means, sigmas))
             ry = rng.uniform(-np.pi, np.pi)
             bottom_y = 1.65  # camera height above road
+            if difficulty_mix and trunc_goal > 0:
+                # place the box so ~trunc_goal of its 2D width hangs past the
+                # right image edge (left for negative draws); the FOV filter
+                # then genuinely drops the out-of-image points
+                probe = gnp.box3d_corners(
+                    np.array([0.0, bottom_y - h / 2, depth]), (l, w, h), ry)
+                uvp = calib.rect_to_image(probe)
+                w_px = uvp[:, 0].max() - uvp[:, 0].min()
+                side = 1.0 if rng.random() < 0.5 else -1.0
+                edge = IMG_W - 1 if side > 0 else 0
+                u_c = edge + side * (trunc_goal - 0.5) * w_px
+                lateral = (u_c - _P2[0, 2]) * depth / _P2[0, 0]
             t = np.array([lateral, bottom_y, depth])
             center = t - np.array([0, h / 2, 0])
 
-            # dense points on the car (in rect frame)
-            n_car = 400
+            # surface points on the object (in rect frame); occluded
+            # populations lose a side slice, as a real occluder would
+            # shadow it
             local = rng.uniform(-0.5, 0.5, (n_car, 3)) * np.array([l, h, w])
             R = gnp.roty(ry)
             pts = local @ R.T + center[None]
+            if keep_frac < 1.0:
+                ang = rng.uniform(0, 2 * np.pi)
+                d = np.array([np.cos(ang), 0.0, np.sin(ang)])
+                proj = pts @ d
+                pts = pts[proj <= np.quantile(proj, keep_frac)]
             car_clouds.append(pts)
 
             corners = gnp.box3d_corners(center, (l, w, h), ry)
             uv = calib.rect_to_image(corners)
-            xmin, ymin = uv.min(0)
-            xmax, ymax = uv.max(0)
-            xmin, xmax = np.clip([xmin, xmax], 0, IMG_W - 1)
-            ymin, ymax = np.clip([ymin, ymax], 0, IMG_H - 1)
-            if ymax - ymin < 30:  # keep boxes comfortably above the 25px gate
+            fxmin, fymin = uv.min(0)
+            fxmax, fymax = uv.max(0)
+            xmin, xmax = np.clip([fxmin, fxmax], 0, IMG_W - 1)
+            ymin, ymax = np.clip([fymin, fymax], 0, IMG_H - 1)
+            if not difficulty_mix and ymax - ymin < 30:
+                # keep boxes comfortably above the 25px gate
                 ymax = min(IMG_H - 1, ymin + 30)
+            # truncation = clipped-away fraction of the full 2D box area
+            # (KITTI labels store the clipped box + this fraction)
+            full_area = max((fxmax - fxmin) * (fymax - fymin), 1e-6)
+            vis_area = max(xmax - xmin, 0.0) * max(ymax - ymin, 0.0)
+            trunc = min(max(1.0 - vis_area / full_area, 0.0), 0.95)
             alpha = gnp.compute_alpha(t[0], t[2], ry)
             labels.append(
-                f"{cls} 0.00 0 {alpha:.2f} {xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f} "
+                f"{cls} {trunc:.2f} {occ} {alpha:.2f} {xmin:.2f} {ymin:.2f} {xmax:.2f} {ymax:.2f} "
                 f"{h:.2f} {w:.2f} {l:.2f} {t[0]:.2f} {t[1]:.2f} {t[2]:.2f} {ry:.2f}"
             )
             # mimic an external 2D detector: jitter the GT box a little

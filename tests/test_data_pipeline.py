@@ -321,3 +321,42 @@ def test_prep_workers_deterministic(kitti_root, tmp_path):
             else:
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                               err_msg=k)
+
+
+def test_synthetic_difficulty_mix(tmp_path):
+    """``difficulty_mix=True`` spans the three KITTI difficulty gates
+    (`evaluate_object_3d_offline.cpp:43-45`): occlusion levels 0/1/2,
+    truncations across the 0.15/0.3/0.5 boundaries, heights above and below
+    the 40px easy gate but never under the 25px floor — and stays
+    deterministic under a fixed seed. The default path is unchanged."""
+    from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
+
+    root = str(tmp_path / "mix")
+    make_synthetic_kitti(root, num_frames=40, cars_per_frame=2, seed=1,
+                         difficulty_mix=True)
+    occ, trunc, heights = [], [], []
+    label_dir = os.path.join(root, "training", "label_2")
+    for f in sorted(os.listdir(label_dir)):
+        for line in open(os.path.join(label_dir, f)):
+            p = line.split()
+            trunc.append(float(p[1]))
+            occ.append(int(p[2]))
+            heights.append(float(p[7]) - float(p[5]))
+    occ, trunc, heights = map(np.asarray, (occ, trunc, heights))
+    assert set(occ) == {0, 1, 2}
+    assert (trunc > 0.30).any() and (trunc <= 0.15).any()
+    assert heights.min() >= 25.0
+    assert (heights < 40.0).any() and (heights >= 40.0).any()
+    easy = (heights >= 40) & (occ == 0) & (trunc <= 0.15)
+    mod = (heights >= 25) & (occ <= 1) & (trunc <= 0.30)
+    assert 0.15 < easy.mean() < 0.65
+    assert easy.mean() < mod.mean() < 1.0
+
+    # deterministic regeneration (the protocol cache is rebuilt each round)
+    root2 = str(tmp_path / "mix2")
+    make_synthetic_kitti(root2, num_frames=40, cars_per_frame=2, seed=1,
+                         difficulty_mix=True)
+    for f in sorted(os.listdir(label_dir)):
+        a = open(os.path.join(label_dir, f)).read()
+        b = open(os.path.join(root2, "training", "label_2", f)).read()
+        assert a == b

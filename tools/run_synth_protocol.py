@@ -30,12 +30,14 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def build_dataset(frames: int, cars: int, cache_root: str, workers: int):
+def build_dataset(frames: int, cars: int, cache_root: str, workers: int,
+                  difficulty_mix: bool = False):
     """Synthetic raw KITTI + stage-1 pickles, cached by generation key."""
     from frustum_convnet_tpu.data.kitti import prepare
     from frustum_convnet_tpu.data.kitti.synthetic import make_synthetic_kitti
 
-    key = hashlib.md5(f"proto-v1-{frames}-{cars}".encode()).hexdigest()[:10]
+    gen = "proto-v2-mix" if difficulty_mix else "proto-v1"
+    key = hashlib.md5(f"{gen}-{frames}-{cars}".encode()).hexdigest()[:10]
     root = os.path.join(cache_root, f"synth_{key}")
     kitti_root = os.path.join(root, "kitti_raw")
     pickle_dir = os.path.join(root, "pickles")
@@ -43,7 +45,8 @@ def build_dataset(frames: int, cars: int, cache_root: str, workers: int):
     if not os.path.exists(done):
         t0 = time.time()
         make_synthetic_kitti(kitti_root, num_frames=frames,
-                             cars_per_frame=cars, seed=1)
+                             cars_per_frame=cars, seed=1,
+                             difficulty_mix=difficulty_mix)
         prepare.main([
             "--gen_train", "--gen_val", "--gen_val_rgb_detection",
             "--car_only", "--data_root", kitti_root,
@@ -67,6 +70,11 @@ def main():
     ap.add_argument("--tag", default=None, help="output dir suffix")
     ap.add_argument("--cache", default="/tmp/fcn_tpu_protocol")
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--difficulty_mix", action="store_true",
+                    help="generate easy/moderate/hard GT populations "
+                         "(occlusion slices, truncation, sparse far objects) "
+                         "so the three KITTI difficulty gates separate; "
+                         "APs are NOT comparable to the v1 protocol band")
     ap.add_argument("--override", nargs=2, action="append", default=[],
                     metavar=("KEY", "VALUE"),
                     help="extra cfg override pairs, e.g. "
@@ -75,9 +83,11 @@ def main():
     args = ap.parse_args()
 
     kitti_root, pickle_dir = build_dataset(args.frames, args.cars, args.cache,
-                                           args.workers)
+                                           args.workers,
+                                           difficulty_mix=args.difficulty_mix)
 
-    tag = args.tag or f"{args.dtype}_{args.epochs}ep"
+    tag = args.tag or (f"{args.dtype}_{args.epochs}ep"
+                       + ("_mix" if args.difficulty_mix else ""))
     out_dir = os.path.join(args.cache, f"run_{tag}")
     overrides = [
         "DATA.DATA_ROOT", pickle_dir,
@@ -111,6 +121,7 @@ def main():
         "dtype": args.dtype,
         "epochs": args.epochs,
         "frames": args.frames,
+        "difficulty_mix": args.difficulty_mix,
         "overrides": args.override,
         "train_seconds": round(train_s, 1),
         "ap": {k: [round(x, 2) for x in v["detection_3d"]]
