@@ -133,10 +133,15 @@ def _build_default_cfg() -> AttrDict:
     # supported training-throughput headline, 13.5x); every bf16
     # *scaled-batch* recipe measured out of the AP band (BENCH_NOTES
     # "bf16 scaled-batch AP campaign" + ghost-BN section). float16 keeps
-    # the same bandwidth win with 8x finer mantissa — its weight-gradient
-    # overflow hazard is guarded by models/net's f32-dW dense dot — and is
-    # supported at scaled batch via the F32_FINETUNE_EPOCHS schedule below
-    # (BENCH_NOTES "float16 compute").
+    # the same bandwidth win with 8x finer mantissa — the weight-gradient
+    # overflow hazard is guarded by models/net's f32-dW dense dot in the
+    # PointNet MLPs (where the reduction spans B*M*K ~ millions of rows and
+    # plain f16 overflows instantly) and in the cls/reg heads; the trunk
+    # convs still run stock f16 (their dW reductions are ~64x smaller and
+    # have stayed finite through every protocol run up to batch 128), and
+    # the train loop now aborts loudly on a non-finite loss instead of
+    # diverging silently. Supported at scaled batch via the
+    # F32_FINETUNE_EPOCHS schedule below (BENCH_NOTES "float16 compute").
     C.TPU.COMPUTE_DTYPE = "float32"
     # optional separate dtype for the conv trunk + heads ("" = follow the
     # compute dtype). "float32" under COMPUTE_DTYPE=bfloat16 keeps the bf16
@@ -185,20 +190,29 @@ def _build_default_cfg() -> AttrDict:
     # compute regardless of COMPUTE_DTYPE (0 = off). Params/BN/optimizer
     # state are dtype-independent, so the switch is just a second jitted
     # step graph from the same TrainState; the LR schedule rides
-    # state.step and is continuous across it. Measured (BENCH_NOTES
-    # "float16 compute"): half-precision AP cost is per-epoch and only
-    # recoverable by f32 epochs BEFORE the optimum forms — the supported
-    # schedule is float16 + F32_FINETUNE_EPOCHS=40 at batch 128/lr 4e-3
-    # (f16 epochs 0-9 only), protocol AP 90.15/90.31/90.31 (in band),
-    # amortized 2,178 f/s/chip = 10.2x; an f32 tail AFTER the decay
-    # (N=10) recovers nothing.
+    # state.step and is continuous across it. Two semantics to note: the
+    # fine-tune epochs run FULLY float32 (TRUNK_DTYPE is intentionally not
+    # applied to them), and N counts back from TRAIN.MAX_EPOCH — so the
+    # supported "f16 for the first 10 epochs" recipe (N=40) assumes the
+    # 50-epoch protocol schedule and shifts meaning if MAX_EPOCH differs.
+    # Measured (BENCH_NOTES "float16 compute"): half-precision AP cost is
+    # per-epoch and only recoverable by f32 epochs BEFORE the optimum forms
+    # — the supported schedule is float16 + F32_FINETUNE_EPOCHS=40 at
+    # batch 128/lr 4e-3 (f16 epochs 0-9 only), protocol AP
+    # 90.15/90.31/90.31 (in band), amortized 2,178 f/s/chip = 10.2x; an
+    # f32 tail AFTER the decay (N=10) recovers nothing.
     C.TPU.F32_FINETUNE_EPOCHS = 0
+    # NOTE: FAST_BN / FAST_BN_FIRST compute *analytic sync-BN* statistics,
+    # so they are intentionally inert while BN_GROUP_SIZE > 0 selects
+    # ghost (per-group) statistics — DenseBNReLU routes to the GhostBN
+    # path and the fast-stat option is dropped (models/net.py).
     C.TPU.FAST_BN = False
     # Analytic BN statistics on each scale's FIRST MLP layer only: the
     # (Cin, Cin) input moment is 3x3 there (grouped xyz), so the stat math
     # and its gradient are ~free while the skipped pre-activation reduction
     # + residual save cover the widest per-layer tensor of each scale.
-    # Subsumed by FAST_BN when that is on. Off by default.
+    # Subsumed by FAST_BN when that is on; inert under ghost-BN (above).
+    # Off by default.
     C.TPU.FAST_BN_FIRST = False
     # Rematerialize the per-scale PointNet MLP stacks in the backward pass
     # (jax.checkpoint): the train step's HBM floor is saving/reloading the

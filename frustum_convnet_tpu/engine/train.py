@@ -120,6 +120,17 @@ def run_epoch_train(step, state, accum, loader, epoch, logger, writer, disp,
             vals = {k: float(v) for k, v in {**losses, **metrics}.items()}
             line = " ".join(f"{k} {v:.4f}" for k, v in vals.items())
             logger.info(f"epoch {epoch} it {i + 1}/{len(loader)} {line}")
+            # fail loudly on numeric blow-up (the half-precision overflow
+            # class: f16 weight-grad reductions outside the guarded layers
+            # can go inf -> nan and would otherwise diverge silently);
+            # piggybacks on the disp-interval sync, costing nothing extra
+            if not np.isfinite(vals.get("total_loss", 0.0)):
+                raise RuntimeError(
+                    f"non-finite total_loss at epoch {epoch} it {i + 1}: "
+                    f"{vals} — with TPU.COMPUTE_DTYPE=float16 this is the "
+                    f"weight-gradient overflow hazard (see configs/config.py "
+                    f"COMPUTE_DTYPE); use float32/bfloat16 or the "
+                    f"F32_FINETUNE_EPOCHS schedule")
     loss_keys = frozenset(step.loss_keys)
     avg = {k: float(v) / max(n_steps if k in loss_keys else n_metric, 1)
            for k, v in jax.device_get(accum).items()}

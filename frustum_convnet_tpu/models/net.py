@@ -90,6 +90,16 @@ def _f16_promote(inputs, kernel, bias, dtype=None):
     return jnp.asarray(inputs, dtype), kernel, bias
 
 
+def _f16_promote_bias(inputs, kernel, bias, dtype=None):
+    """Head variant of ``_f16_promote``: the bias stays float32, so the
+    bias-add promotes the head output to f32 and the bias cotangent (a
+    batch-row sum, the same overflow class as dW) accumulates in f32. The
+    heads cast to >=f32 on return anyway, so forward numerics are
+    unchanged."""
+    return (jnp.asarray(inputs, dtype), kernel,
+            None if bias is None else jnp.asarray(bias, jnp.float32))
+
+
 def _f16_dot_general(x, w, dimension_numbers, precision=None, **_):
     del precision  # f16 MXU path; precision knob is a no-op here
     assert dimension_numbers == (((x.ndim - 1,), (0,)), ((), ()))
@@ -544,11 +554,15 @@ class FrustumConvNet(nn.Module):
             ups.append(u[:, :out_len])
         x = jnp.concatenate(ups, axis=-1)  # (B, L, head_channels)
 
-        # --- heads (ref det_base.py:250-258)
+        # --- heads (ref det_base.py:250-258); under f16 the kernel/bias
+        # cotangents route through f32 (same guard as the MLP dense dots)
+        head_kw = ({"promote_dtype": _f16_promote_bias,
+                    "dot_general": _f16_dot_general}
+                   if td == jnp.float16 else {})
         cls_logits = nn.Dense(s.num_classes, kernel_init=_kaiming_uniform,
-                              dtype=td, name="cls_out")(x)
+                              dtype=td, name="cls_out", **head_kw)(x)
         reg = nn.Dense(s.reg_size, kernel_init=_kaiming_uniform,
-                       dtype=td, name="reg_out")(x)
+                       dtype=td, name="reg_out", **head_kw)(x)
         # head outputs never below float32 (half-precision compute still
         # yields f32 logits for the losses); an f64 run stays f64 so the
         # torch-gradient-parity tier can separate semantics from round-off

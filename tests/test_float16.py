@@ -128,3 +128,37 @@ def test_f16_train_steps_stay_finite():
                for p in jax.tree_util.tree_leaves(state.params))
     assert all(bool(jnp.isfinite(s).all())
                for s in jax.tree_util.tree_leaves(state.batch_stats))
+
+
+def test_f16_head_grads_route_through_f32():
+    """The cls/reg heads under float16 use the same guarded dot as the MLPs:
+    a synthetic overflow-scale cotangent must produce finite f32
+    kernel/bias gradients where a stock-f16 dense would emit inf."""
+    import numpy as np
+    from frustum_convnet_tpu.configs import get_default_cfg, merge_cfg_from_list
+    from frustum_convnet_tpu.models.registry import get_model_spec
+    from frustum_convnet_tpu.data.fixtures import make_batch
+
+    cfg = get_default_cfg()
+    merge_cfg_from_list(
+        ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
+         "DATA.NUM_SAMPLES", "128", "DATA.MAX_DEPTH", "8"], cfg)
+    spec = get_model_spec(cfg)
+    model = FrustumConvNet(spec, dtype=jnp.float16)
+    b = make_batch(spec, batch=4, seed=0, with_labels=False)
+    args = (jnp.asarray(b["point_cloud"]), jnp.asarray(b["one_hot"]),
+            [jnp.asarray(r) for r in b["refs"]])
+    v = model.init(jax.random.PRNGKey(0), *args, train=False)
+
+    def loss(p):
+        (cl, rg), _ = model.apply({"params": p, "batch_stats": v["batch_stats"]},
+                                  *args, train=True, mutable=["batch_stats"])
+        # overflow-scale upstream: a plain f16 batch-row reduction of this
+        # cotangent would exceed f16 max (65504) and emit inf
+        return (cl.astype(jnp.float32) * 1e4).sum() + (rg.astype(jnp.float32) * 1e4).sum()
+
+    g = jax.jit(jax.grad(loss))(v["params"])
+    for head in ("cls_out", "reg_out"):
+        for leaf in ("kernel", "bias"):
+            arr = np.asarray(g[head][leaf])
+            assert np.isfinite(arr).all(), (head, leaf)
