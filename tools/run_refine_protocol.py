@@ -44,7 +44,7 @@ def build_refine_pickles(kitti_root: str, stage1_results: str, out_dir: str,
         return
     t0 = time.time()
     prepare_refine.main([
-        "--gen_train", "--gen_val_rgb_detection", "--car_only",
+        "--gen_train", "--gen_val", "--gen_val_rgb_detection", "--car_only",
         "--data_root", kitti_root,
         "--save_dir", out_dir,
         "--val_res_dir", stage1_results,
