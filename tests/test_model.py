@@ -224,3 +224,32 @@ def test_trunk_dtype_mixed_precision():
     )(v, pts, one_hot, refs)
     np.testing.assert_array_equal(np.asarray(cl0), np.asarray(cl1))
     np.testing.assert_array_equal(np.asarray(rg0), np.asarray(rg1))
+
+
+def test_train_step_flagship_ladder_quick():
+    """Quick-tier compile + one train step at the flagship's FULL section
+    ladder (MAX_DEPTH 70 -> 280/140/70/35 sections) so the fast edit loop
+    keeps compiling the production geometry (points reduced to 128 to stay
+    in the quick-tier time budget; the full 1024-point graph runs in the
+    slow tier via test_grad_parity_full_shapes and on chip)."""
+    from frustum_convnet_tpu.data.fixtures import make_batch as fixture_batch
+    from frustum_convnet_tpu.parallel.train_step import (
+        TrainStepConfig, build_train_step, init_state, make_optimizer)
+
+    cfg = get_default_cfg()
+    merge_cfg_from_list(
+        ["MODEL.FILE", "det_base", "DATA.WITH_EXTRA_FEAT", "False",
+         "DATA.NUM_SAMPLES", "128"], cfg)  # MAX_DEPTH stays 70
+    spec = MODEL_REGISTRY[cfg.MODEL.FILE](cfg)
+    assert spec.num_refs[0] == 280  # production ladder, not the test one
+    model = FrustumConvNet(spec)
+    b = fixture_batch(spec, batch=2, seed=0, with_labels=True)
+    batch = {k: (tuple(jnp.asarray(r) for r in v) if k == "refs"
+                 else jnp.asarray(v)) for k, v in b.items()}
+    tcfg = TrainStepConfig(steps_per_epoch=10)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, batch, seed=3)
+    step = build_train_step(model, spec, tx, tcfg, mesh=None, donate=False)
+    state, losses, metrics = step(state, batch)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert int(state.step) == 1
