@@ -100,15 +100,20 @@ def main():
     train_s = time.time() - t0
     print(f"refine training done in {train_s:.0f}s", flush=True)
 
+    # the reference evaluates the FINAL epoch checkpoint
+    # (`scripts/car_train_refine.sh:9` -> model_0050.pth), not model_best —
+    # and the refine stage's in-loop IoU_0.7 metric saturates at 1.0 within
+    # a few epochs on the synthetic cascade, so best-selection would freeze
+    # on an early checkpoint with an unconverged heading head
     from frustum_convnet_tpu.configs import reset_cfg
     reset_cfg()
     from frustum_convnet_tpu.engine import test as test_cli
-    best = os.path.join(out_dir, "checkpoints", "model_best.msgpack")
+    final = os.path.join(out_dir, "checkpoints", "model_final.msgpack")
     results = test_cli.main([
         "--cfg", cfg_path,
         "--gt_dir", os.path.join(kitti_root, "training", "label_2"),
         "--idx_path", os.path.join(kitti_root, "image_sets", "val.txt"),
-    ] + overrides + ["TEST.WEIGHTS", best])
+    ] + overrides + ["TEST.WEIGHTS", final])
 
     summary = {
         "stage": "refine",
@@ -116,6 +121,7 @@ def main():
         "epochs": args.epochs,
         "frames": args.frames,
         "stage1": args.stage1,
+        "weights": "model_final",
         "overrides": args.override,
         "train_seconds": round(train_s, 1),
         "ap": {k: [round(x, 2) for x in v["detection_3d"]]
