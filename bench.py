@@ -117,7 +117,7 @@ PROTOCOL_EPOCHS = 50
 # cross-code deltas bound round-to-round drift.
 SEED_APS = {
     (32, "float32"): {"3 (prior)": 90.64, "4": 90.71},
-    (32, "bfloat16"): {"3 (prior)": 90.45},
+    (32, "bfloat16"): {"3 (prior)": 90.45, "4": 90.54},
     (128, "float32"): {"3 (prior)": 90.38, "3 (prior, regenerated data)": 90.49},
     (128, "float16"): {"3 (prior)": 90.15},
 }
